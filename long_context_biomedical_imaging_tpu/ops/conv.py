@@ -1,0 +1,42 @@
+"""Depthwise 1D convolutions for the sequence mixers.
+
+TPU equivalents of causal-conv1d / torch depthwise Conv1d
+(ref: model/models/mamba.py:118-119 uses padding='same';
+ref: model/models/hyena.py:285-291 pads ks-1 then truncates = causal).
+XLA's `conv_general_dilated` with feature_group_count=channels maps these
+onto the MXU/VPU efficiently at these tiny kernel sizes (3-5 taps).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def depthwise_conv1d(x, w, b=None, padding: str = "same"):
+    """Depthwise conv over the last axis.
+
+    Args:
+      x: (B, D, L) input.
+      w: (D, K) per-channel filters.
+      b: (D,) bias or None.
+      padding: 'same' (centered, torch padding='same' semantics for odd K) or
+        'causal' (left-pad K-1: output[t] sees x[t-K+1..t]).
+
+    Returns (B, D, L) in x.dtype.
+    """
+    d, ksize = w.shape
+    if padding == "same":
+        pads = [((ksize - 1) // 2, ksize // 2)]
+    elif padding == "causal":
+        pads = [(ksize - 1, 0)]
+    else:
+        raise ValueError(f"unknown padding {padding}")
+    # lhs: (B, D, L); rhs (D, 1, K) with feature_group_count=D.
+    y = lax.conv_general_dilated(
+        x, w[:, None, :], window_strides=(1,), padding=pads,
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=d,
+        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + b[None, :, None]
+    return y.astype(x.dtype)

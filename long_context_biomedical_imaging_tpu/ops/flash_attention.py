@@ -1,0 +1,302 @@
+"""Pallas flash attention for TPU (forward + custom VJP).
+
+Blockwise online-softmax attention for full-sequence ViT mixing at 16k-66k
+tokens (replaces the reference's O(L^2) cuDNN attention einsums,
+ref: model/models/backbone_vit.py:189-203). The blockwise accumulation is the
+single-chip analogue of ring attention: memory is O(block_q * L / block_k)
+instead of O(L^2), and every inner product lands on the MXU.
+
+Layout: q, k, v are (BH, L, D) with batch*heads collapsed. The grid iterates
+(bh, q_block, k_block) with the k axis innermost; TPU grids execute
+sequentially so fp32 running max / denominator / accumulator live in VMEM
+scratch across the k sweep of each q block.
+
+Backward follows the FlashAttention-2 recipe: save only (out, logsumexp),
+recompute p per block; a dq kernel sweeps k-blocks innermost and a dkv kernel
+sweeps q-blocks innermost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                scale: float, kv_len: int, block_k: int):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    # Mask out keys beyond the true sequence length (padding block).
+    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                                   # (bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)               # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                          # (bq, 1)
+    p = jnp.exp(s - m_new)                                   # (bq, bk)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    block_q = min(block_q, _round_up(q_len, 8))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    n_q = _cdiv(q_len, block_q)
+    n_k = _cdiv(kv_len, block_k)
+    q_pad = n_q * block_q - q_len
+    k_pad = n_k * block_k - kv_len
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
+
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_q * block_q, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(q, k, v)
+    return out[:, :q_len], lse[:, :q_len, 0]
+
+
+# --------------------------------------------------------------------------- #
+# Backward
+# --------------------------------------------------------------------------- #
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
+               scale: float, kv_len: int, block_k: int):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])                       # (bq, bk)
+
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, :1])                       # (bq, bk)
+    dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                dk_scr, dv_scr, *, scale: float, kv_len: int, block_k: int):
+    iq = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    ik = pl.program_id(1)
+    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])                        # (bq, bk)
+
+    dv_scr[:] += jax.lax.dot_general(p.astype(do_ref.dtype), do_ref[0],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, :1])
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == n_q - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(scale, block_q, block_k, res, do):
+    q, k, v, out, lse = res
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    block_q = min(block_q, _round_up(q_len, 8))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    n_q = _cdiv(q_len, block_q)
+    n_k = _cdiv(kv_len, block_k)
+    q_pad = n_q * block_q - q_len
+    k_pad = n_k * block_k - kv_len
+
+    # delta_i = rowsum(do * o) — tiny elementwise reduce, XLA fuses it.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, q_pad), (0, 0))) if q_pad else x
+
+    def pad_k(x):
+        return jnp.pad(x, ((0, 0), (0, k_pad), (0, 0))) if k_pad else x
+
+    qp, dop = pad_q(q), pad_q(do)
+    kp, vp = pad_k(k), pad_k(v)
+    # lse defaults to 0 in padded q rows -> p = exp(-1e30 - 0) = 0, harmless.
+    lsep = jnp.pad(lse, ((0, 0), (0, q_pad)), constant_values=1.0) if q_pad else lse
+    deltap = jnp.pad(delta, ((0, 0), (0, q_pad))) if q_pad else delta
+    lsep = jnp.broadcast_to(lsep[..., None], (bh, n_q * block_q, _LANES))
+    deltap = jnp.broadcast_to(deltap[..., None], (bh, n_q * block_q, _LANES))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, ik, iq: (b, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_k * block_k, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_k * block_k, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
+# --------------------------------------------------------------------------- #
+# Public API
+# --------------------------------------------------------------------------- #
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_bhld(q, k, v, scale, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _fwd_rule(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+_flash_attention_bhld.defvjp(_fwd_rule, _flash_bwd)
+
+
+def flash_attention(q, k, v, scale: float | None = None,
+                    block_q: int = 256, block_k: int = 512):
+    """Multi-head attention via the Pallas flash kernel.
+
+    Args:
+      q, k, v: (B, H, L, D) arrays (any float dtype; compute in fp32 on MXU).
+      scale: softmax scale; defaults to D**-0.5.
+      block_q/block_k: tile sizes (tuned for v5e VMEM; D<=128 assumed).
+
+    Returns (B, H, L, D) attention output in q.dtype.
+    """
+    b, h, lq, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, k.shape[2], d)
+    vf = v.reshape(b * h, v.shape[2], d)
+    out = _flash_attention_bhld(qf, kf, vf, float(scale), block_q, block_k)
+    return out.reshape(b, h, lq, d)

@@ -1,0 +1,151 @@
+"""Op-level golden tests: window round-trips, masks, scan vs naive recurrence,
+FFT conv vs direct convolution, flash attention vs reference (fwd + grad)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_biomedical_imaging_tpu.ops import (
+    attention_reference, compute_shift_mask, depthwise_conv1d, fft_causal_conv,
+    flash_attention, get_window_size, relative_position_index, selective_scan,
+    selective_scan_chunked, selective_scan_reference, window_partition,
+    window_reverse)
+
+
+def test_window_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 3)).astype(np.float32))
+    ws = (2, 4, 4)
+    wins = window_partition(x, ws)
+    assert wins.shape == (2 * 2 * 2 * 2, 32, 3)
+    back = window_reverse(wins, ws, (2, 4, 8, 8))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_get_window_size_shrinks():
+    ws, ss = get_window_size((2, 16, 16), (8, 8, 8), (4, 4, 4))
+    assert ws == (2, 8, 8)
+    assert ss == (0, 4, 4)
+
+
+def test_shift_mask_zero_without_shift():
+    m = compute_shift_mask((4, 8, 8), (2, 4, 4), (0, 0, 0))
+    assert np.asarray(m).max() == 0 and np.asarray(m).min() == 0
+
+
+def test_shift_mask_blocks_cross_region():
+    m = np.asarray(compute_shift_mask((1, 8, 8), (1, 4, 4), (0, 2, 2)))
+    assert m.shape == (4, 16, 16)
+    assert (m == -100.0).any()
+    # diagonal is always unmasked (a token attends to itself)
+    for w in range(4):
+        assert np.all(np.diag(m[w]) == 0)
+
+
+def test_relative_position_index_bounds():
+    idx = np.asarray(relative_position_index((2, 4, 4)))
+    assert idx.shape == (32, 32)
+    assert idx.min() >= 0 and idx.max() < 3 * 7 * 7
+    # self-pairs share one index value
+    assert len(set(np.diag(idx).tolist())) == 1
+
+
+def test_selective_scan_matches_naive(rng):
+    b, d, l, n = 2, 8, 33, 4
+    u = jnp.asarray(rng.normal(size=(b, d, l)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(b, d, l)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(b, n, l)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(b, n, l)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    ref = selective_scan_reference(u, delta, A, B, C, D, db)
+    got = selective_scan(u, delta, A, B, C, D, db)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    got_c = selective_scan_chunked(u, delta, A, B, C, D, db, chunk=8)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_selective_scan_grad(rng):
+    b, d, l, n = 1, 4, 16, 2
+    u = jnp.asarray(rng.normal(size=(b, d, l)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(b, d, l)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(b, n, l)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(b, n, l)).astype(np.float32))
+
+    f_scan = lambda u_: jnp.sum(selective_scan(u_, delta, A, B, C))
+    f_ref = lambda u_: jnp.sum(selective_scan_reference(u_, delta, A, B, C))
+    g_scan = jax.grad(f_scan)(u)
+    g_ref = jax.grad(f_ref)(u)
+    np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fft_conv_matches_direct(rng):
+    d, l = 3, 17
+    u = jnp.asarray(rng.normal(size=(2, d, l)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(d, l)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    got = np.asarray(fft_causal_conv(u, k, bias))
+    # direct causal convolution
+    want = np.zeros((2, d, l), np.float32)
+    un, kn = np.asarray(u), np.asarray(k)
+    for t in range(l):
+        for tau in range(t + 1):
+            want[:, :, t] += un[:, :, t - tau] * kn[None, :, tau]
+    want += un * np.asarray(bias)[None, :, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv_same_and_causal(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 12)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    y_same = np.asarray(depthwise_conv1d(x, w, b, "same"))
+    assert y_same.shape == (2, 4, 12)
+    # torch F.conv1d(padding='same') equivalence via manual pad
+    xn = np.pad(np.asarray(x), ((0, 0), (0, 0), (1, 1)))
+    want = np.zeros((2, 4, 12), np.float32)
+    for t in range(12):
+        want[:, :, t] = (xn[:, :, t:t + 3] * np.asarray(w)[None]).sum(-1)
+    want += np.asarray(b)[None, :, None]
+    np.testing.assert_allclose(y_same, want, rtol=1e-5, atol=1e-5)
+
+    y_causal = np.asarray(depthwise_conv1d(x, w, None, "causal"))
+    xc = np.pad(np.asarray(x), ((0, 0), (0, 0), (2, 0)))
+    want_c = np.zeros((2, 4, 12), np.float32)
+    for t in range(12):
+        want_c[:, :, t] = (xc[:, :, t:t + 3] * np.asarray(w)[None]).sum(-1)
+    np.testing.assert_allclose(y_causal, want_c, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("l", [128, 300])
+def test_flash_attention_matches_reference(rng, l):
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    want = np.asarray(attention_reference(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=64, block_k=128))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_grads(rng):
+    b, h, l, d = 1, 2, 160, 16
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=64, block_k=128)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
