@@ -1,0 +1,158 @@
+"""Hyena operator: gated FFT long convolution as an attention drop-in.
+
+TPU-native reimplementation of the reference Hyena stack
+(ref: model/models/hyena.py:219-360 HyenaOperator, :117-199 Filter,
+:67-89 PositionalEmbedding, :92-113 ExponentialModulation, :54-64 Sin).
+The long convolution runs through `ops.fft_causal_conv` (XLA TPU FFT)
+instead of cuFFT; the short filter is a causal depthwise conv.
+
+Behavioral notes (ref quirks, SURVEY.md §2.4): the reference's
+`bidrectional=True` call-site typo means the bidirectional path is dead code —
+effective behavior is the causal/unidirectional conv implemented here. The
+implicit filter is parameterized on the full `l_max` time grid and truncated
+to the first L points at call time (ref: hyena.py:88-89).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import depthwise_conv1d, fft_causal_conv
+from .layers import TorchDense
+
+
+def _positional_embedding_init(emb_dim: int, seq_len: int) -> np.ndarray:
+    """Initial z: [t, Re exp(-i f w), Im exp(-i f w)] on the l_max grid
+    (ref: hyena.py:67-85)."""
+    t = np.linspace(0, 1, seq_len)[None, :, None].astype(np.float32)
+    bands = (emb_dim - 1) // 2
+    t_rescaled = np.linspace(0, seq_len - 1, seq_len)[None, :, None].astype(np.float32)
+    w = 2 * math.pi * t_rescaled / seq_len
+    f = np.linspace(1e-4, bands - 1, bands)[None, None].astype(np.float32)
+    z = np.exp(-1j * f * w)
+    return np.concatenate([t, z.real.astype(np.float32), z.imag.astype(np.float32)],
+                          axis=-1)  # (1, seq_len, emb_dim)
+
+
+class HyenaFilter(nn.Module):
+    """Implicit long filter: trainable pos-emb -> Sin-MLP -> exponential decay.
+
+    Produces k of shape (L, d_model) for the first L points of the l_max grid.
+    """
+
+    d_model: int
+    emb_dim: int = 3
+    order: int = 64            # MLP width (call sites pass filter_order=64)
+    seq_len: int = 1024        # l_max
+    w: float = 1.0             # Sin activation frequency (ref Filter default w=1)
+    num_inner_mlps: int = 2
+    modulate: bool = True
+    fast_decay_pct: float = 0.3
+    slow_decay_pct: float = 1.5
+    target: float = 1e-2
+    shift: float = 0.0
+
+    def setup(self):
+        assert self.emb_dim % 2 == 1 and self.emb_dim >= 3
+        z0 = _positional_embedding_init(self.emb_dim, self.seq_len)
+        self.z = self.param("z", lambda key: jnp.asarray(z0))
+        # fftconv skip weight (ref: hyena.py:156 `self.bias = Parameter(randn(d))`)
+        self.bias = self.param("bias", nn.initializers.normal(stddev=1.0), (self.d_model,))
+        self.freqs = [self.param(f"sin_freq_{i}", nn.initializers.constant(self.w),
+                                 (1, self.order))
+                      for i in range(self.num_inner_mlps + 1)]
+        self.linears_in = TorchDense(self.order)
+        self.linears_mid = [TorchDense(self.order) for _ in range(self.num_inner_mlps)]
+        self.linear_out = TorchDense(self.d_model, use_bias=False)
+
+    def _modulation_decay(self, L: int) -> jnp.ndarray:
+        max_decay = math.log(self.target) / self.fast_decay_pct
+        min_decay = math.log(self.target) / self.slow_decay_pct
+        deltas = np.linspace(min_decay, max_decay, self.d_model).astype(np.float32)
+        t = np.linspace(0, 1, self.seq_len)[:L, None].astype(np.float32)
+        return jnp.asarray(np.exp(-t * np.abs(deltas)[None, :]))  # (L, d_model)
+
+    def __call__(self, L: int) -> jnp.ndarray:
+        h = self.z[0, :L]  # (L, emb_dim)
+        h = jnp.sin(self.freqs[0] * self.linears_in(h))
+        for lin, freq in zip(self.linears_mid, self.freqs[1:]):
+            h = jnp.sin(freq * lin(h))
+        h = self.linear_out(h)  # (L, d_model)
+        if self.modulate:
+            h = h * (self._modulation_decay(L) + self.shift)
+        return h
+
+
+class HyenaOperator(nn.Module):
+    """Gated causal long-convolution token mixer (ref: hyena.py:219-360).
+
+    Input/output (B, L, d_model). Per-head implicit filter over head_dim
+    channels, shared across heads.
+    """
+
+    d_model: int
+    l_max: int
+    filter_order: int = 64
+    num_heads: int = 1
+    num_blocks: int = 1
+    short_filter_order: int = 5
+    dropout: float = 0.0
+    filter_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, u, deterministic: bool = True):
+        b, l, d = u.shape
+        assert l <= self.l_max, f"Input length {l} exceeds maximum length {self.l_max}"
+        assert d == self.d_model
+        head_dim = self.d_model // self.num_heads
+        width = 3 * self.d_model
+
+        u = TorchDense(width)(u)                         # in_proj
+        u = u.transpose(0, 2, 1)                          # (b, 3d, l)
+
+        # Short causal depthwise conv (ref: hyena.py:285-291,321 pads ks-1 then
+        # truncates to l == causal).
+        w_short = self.param("short_filter_kernel",
+                             depthwise_conv_init(self.short_filter_order),
+                             (width, self.short_filter_order))
+        b_short = self.param("short_filter_bias",
+                             depthwise_conv_init(self.short_filter_order), (width,))
+        uc = depthwise_conv1d(u, w_short, b_short, padding="causal")
+
+        # (b, heads, 3*head_dim, l) -> gates x1, x2 and value v (num_blocks==1).
+        uc = uc.reshape(b, self.num_heads, 3 * head_dim, l)
+        x1 = uc[:, :, :head_dim]
+        x2 = uc[:, :, head_dim:2 * head_dim]
+        v = uc[:, :, 2 * head_dim:]
+
+        v = v * x1                                        # pre-gate
+        v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
+
+        filt = HyenaFilter(d_model=head_dim, order=self.filter_order,
+                           seq_len=self.l_max, name="filter_fn")
+        k = filt(l).transpose(1, 0)                       # (head_dim, l)
+        bias = filt.bias                                  # (head_dim,)
+        # broadcast filter across heads: fold heads into batch
+        v = fft_causal_conv(v.reshape(b * self.num_heads, head_dim, l), k, bias)
+        v = v.reshape(b, self.num_heads, head_dim, l)
+
+        v = v * x2                                        # post-gate
+        y = v.reshape(b, self.d_model, l).transpose(0, 2, 1)
+        return TorchDense(self.d_model)(y)                # out_proj
+
+
+def depthwise_conv_init(kernel_size: int):
+    """torch depthwise Conv1d defaults: U(+-1/sqrt(fan_in)), fan_in = K (groups=C).
+    Applies the same bound to weight (C, K) and bias (C,) as torch does."""
+    import jax
+
+    bound = 1.0 / math.sqrt(kernel_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init

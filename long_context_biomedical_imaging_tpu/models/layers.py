@@ -1,0 +1,157 @@
+"""Shared model blocks: patch embeddings, MLP, DropPath, initializers.
+
+Native reimplementations of the MONAI blocks the reference depends on
+(PatchEmbeddingBlock ref: backbone_vit.py:351-361; PatchEmbed ref:
+backbone_swin.py:800-806; MLPBlock ref: backbone_vit.py:250; DropPath), built
+as flax.linen modules on channels-last layouts (TPU convs prefer NHWC/NDHWC).
+
+Initializers mimic torch defaults (kaiming-uniform Linear/Conv with
+U(+-1/sqrt(fan_in)) bias) so training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear weight default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    flax Dense kernels are (fan_in, fan_out)."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch ConvNd weight default on flax (spatial..., in, out) kernels."""
+    receptive = int(np.prod(shape[:-2]))
+    fan_in = shape[-2] * receptive
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def fan_in_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch nn.Linear default initialization."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=torch_linear_kernel_init,
+                        bias_init=fan_in_bias_init(fan_in), dtype=self.dtype)(x)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth — drops the whole residual branch per sample.
+
+    (ref: monai DropPath used at backbone_swin.py:532,536; rate is 0.0 in all
+    reference configs, kept for config-surface completeness.)"""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class MLPBlock(nn.Module):
+    """Transformer MLP: Dense -> GELU -> drop -> Dense -> drop (MONAI MLPBlock)."""
+
+    hidden_size: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = TorchDense(self.mlp_dim)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = TorchDense(self.hidden_size)(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbeddingBlock(nn.Module):
+    """ViT patchify: strided conv projection + optional learnable pos-embed.
+
+    Input (B, *spatial, C) -> tokens (B, L, hidden). Position embeddings are
+    disabled when the mixer is hyena/mamba (ref: backbone_vit.py:349).
+    """
+
+    img_size: Sequence[int]
+    patch_size: Sequence[int]
+    hidden_size: int
+    pos_embed_type: str = "learnable"  # 'learnable' | 'none'
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n_patches = 1
+        for i, p in zip(self.img_size, self.patch_size):
+            if i % p != 0:
+                raise ValueError(f"img_size {self.img_size} not divisible by patch {self.patch_size}")
+            n_patches *= i // p
+        x = nn.Conv(self.hidden_size, kernel_size=tuple(self.patch_size),
+                    strides=tuple(self.patch_size), padding="VALID",
+                    kernel_init=torch_conv_kernel_init,
+                    bias_init=nn.initializers.zeros)(x)
+        x = x.reshape(x.shape[0], -1, self.hidden_size)  # row-major (T',H',W') order
+        if self.pos_embed_type == "learnable":
+            pos = self.param("position_embeddings", trunc_normal_init(0.02),
+                             (1, n_patches, self.hidden_size))
+            x = x + pos
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Swin patchify: strided conv, stays on the spatial grid (B,*s,C)->(B,*s',E)."""
+
+    patch_size: Sequence[int]
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.embed_dim, kernel_size=tuple(self.patch_size),
+                       strides=tuple(self.patch_size), padding="VALID",
+                       kernel_init=torch_conv_kernel_init,
+                       bias_init=nn.initializers.zeros)(x)
+
+
+def parameterless_layer_norm(x, eps: float = 1e-5):
+    """F.layer_norm over the channel axis with no learned affine
+    (ref: backbone_swin.py:866-879 proj_out)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)

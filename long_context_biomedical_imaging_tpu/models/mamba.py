@@ -1,0 +1,108 @@
+"""MambaVision-style mixer on the TPU selective-scan op.
+
+Reimplements the reference MambaVisionMixer (ref: model/models/mamba.py:30-139)
+with `ops.selective_scan` replacing the mamba-ssm CUDA kernel. Input/output
+is (B, L, d_model).
+
+Behavioral notes (SURVEY.md §2.4):
+  * conv1d_x / conv1d_z have no bias in the reference (`bias=conv_bias//2` ->
+    True//2 == 0, ref: mamba.py:91-106); replicated here.
+  * the reference applies dt_proj's bias inside the linear AND passes it again
+    as `delta_bias` to selective_scan (ref: mamba.py:122,132, inherited from
+    upstream MambaVision) — effective delta is softplus(W dt + 2b); replicated.
+  * A_log / D carry no weight decay in the reference; the optimizer here uses a
+    single param group like the reference OptimManager (ref: optim_base.py:58).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import depthwise_conv1d, selective_scan
+from .hyena import depthwise_conv_init
+from .layers import TorchDense
+
+
+def _dt_proj_kernel_init(dt_rank: int, dt_scale: float = 1.0):
+    std = dt_rank ** -0.5 * dt_scale
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    return init
+
+
+def _dt_proj_bias_init(d: int, dt_min: float = 0.001, dt_max: float = 0.1,
+                       dt_init_floor: float = 1e-4):
+    """Inverse-softplus of log-uniform dt (ref: mamba.py:72-78)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, dt_init_floor, None)
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+class MambaVisionMixer(nn.Module):
+    """Selective-scan token mixer with a non-SSM gate branch."""
+
+    d_model: int
+    d_state: int = 8
+    d_conv: int = 3
+    expand: int = 1
+    dt_rank: int | None = None    # default ceil(d_model/16)
+
+    @nn.compact
+    def __call__(self, hidden_states, deterministic: bool = True):
+        b, l, _ = hidden_states.shape
+        d_inner = int(self.expand * self.d_model)
+        d_half = d_inner // 2
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+
+        xz = TorchDense(d_inner, use_bias=False)(hidden_states)  # in_proj
+        xz = xz.transpose(0, 2, 1)                                # (b, d_inner, l)
+        x, z = xz[:, :d_half], xz[:, d_half:]
+
+        # Two depthwise conv branches, no bias (ref quirk), SiLU.
+        wx = self.param("conv1d_x_kernel", depthwise_conv_init(self.d_conv),
+                        (d_half, self.d_conv))
+        wz = self.param("conv1d_z_kernel", depthwise_conv_init(self.d_conv),
+                        (d_half, self.d_conv))
+        x = nn.silu(depthwise_conv1d(x, wx, None, "same"))
+        z = nn.silu(depthwise_conv1d(z, wz, None, "same"))
+
+        # Input-dependent dt, B, C.
+        x_dbl = TorchDense(dt_rank + 2 * self.d_state, use_bias=False)(
+            x.transpose(0, 2, 1))                                  # (b, l, r+2n)
+        dt = x_dbl[..., :dt_rank]
+        B = x_dbl[..., dt_rank:dt_rank + self.d_state]
+        C = x_dbl[..., dt_rank + self.d_state:]
+
+        dt_kernel = self.param("dt_proj_kernel", _dt_proj_kernel_init(dt_rank),
+                               (dt_rank, d_half))
+        dt_bias = self.param("dt_proj_bias", _dt_proj_bias_init(d_half), (d_half,))
+        dt = dt @ dt_kernel + dt_bias                              # (b, l, d_half)
+
+        A_log = self.param("A_log",
+                           lambda key: jnp.log(jnp.broadcast_to(
+                               jnp.arange(1, self.d_state + 1, dtype=jnp.float32),
+                               (d_half, self.d_state))))
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        D = self.param("D", nn.initializers.ones, (d_half,))
+
+        y = selective_scan(x, dt.transpose(0, 2, 1), A,
+                           B.transpose(0, 2, 1), C.transpose(0, 2, 1), D,
+                           delta_bias=dt_bias,  # added twice on purpose (see module docstring)
+                           delta_softplus=True)
+
+        y = jnp.concatenate([y, z], axis=1)                        # (b, d_inner, l)
+        y = y.transpose(0, 2, 1)
+        return TorchDense(self.d_model, use_bias=False)(y)         # out_proj

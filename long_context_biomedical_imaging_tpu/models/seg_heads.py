@@ -1,0 +1,128 @@
+"""UperNet segmentation heads (ref: model/models/seg_heads.py:18-278).
+
+One rank-agnostic implementation covers UperNet2D and UperNet3D: PSP pooling
+on the deepest feature, FPN top-down fusion, 3x3 conv head, resize to the
+input resolution. All tensors are channels-last.
+
+Reference quirks preserved:
+  * PSP bottleneck is a 1x1 conv with padding=1 — it grows each spatial dim
+    by 2 (ref: seg_heads.py:28-30,159-161); downstream resizes absorb it.
+  * the FPN smooth convs share one set of weights ([conv]*3 in a ModuleList
+    shares the instance, ref: seg_heads.py:52-54,190-192).
+  * PSP/FPN use BatchNorm (batch_stats collection) and align_corners=True
+    interpolation; the final resize uses align_corners=False.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .resize import adaptive_avg_pool, linear_resize
+from .unetr_blocks import ConvNd
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+    kernel_size: int = 1
+    pad_quirk: int = 0  # extra symmetric padding (the 1x1-with-padding quirk)
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        rank = x.ndim - 2
+        if self.pad_quirk:
+            pad = ((0, 0),) + ((self.pad_quirk, self.pad_quirk),) * rank + ((0, 0),)
+            x = jnp.pad(x, pad)
+        x = ConvNd(self.features, self.kernel_size, 1, use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=use_running_average, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        return nn.relu(x)
+
+
+class PSPModule(nn.Module):
+    """Pyramid pooling (bins 1/2/4/6) + bottleneck (ref: seg_heads.py:18-47)."""
+
+    in_channels: int
+    bin_sizes: Sequence[int] = (1, 2, 4, 6)
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True, deterministic: bool = True):
+        rank = x.ndim - 2
+        spatial = x.shape[1:-1]
+        out_ch = self.in_channels // len(self.bin_sizes)
+        pyramids = [x]
+        for i, b in enumerate(self.bin_sizes):
+            p = adaptive_avg_pool(x, (b,) * rank)
+            p = _ConvBNRelu(out_ch, 1, name=f"stage_{i}")(p, use_running_average)
+            pyramids.append(linear_resize(p, spatial, align_corners=True))
+        y = jnp.concatenate(pyramids, axis=-1)
+        y = _ConvBNRelu(self.in_channels, 1, pad_quirk=1, name="bottleneck")(
+            y, use_running_average)
+        return nn.Dropout(0.1)(y, deterministic=deterministic)
+
+
+class FPNFuse(nn.Module):
+    """Top-down FPN fusion (ref: seg_heads.py:52-77)."""
+
+    feature_channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, features, use_running_average: bool = True):
+        fpn_out = self.feature_channels[0]
+        feats = list(features)
+        for i in range(1, len(feats)):
+            feats[i] = ConvNd(fpn_out, 1, 1, use_bias=True, name=f"conv1x1_{i-1}")(feats[i])
+        # top-down: upsample deeper feature to the shallower grid and add
+        P = []
+        for i in reversed(range(1, len(feats))):
+            up = linear_resize(feats[i], feats[i - 1].shape[1:-1], align_corners=True)
+            P.append(up + feats[i - 1])
+        # one shared smooth conv (reference weight-sharing quirk)
+        smooth = ConvNd(fpn_out, 3, 1, use_bias=True, name="smooth_conv")
+        P = [smooth(p) for p in P]
+        P = list(reversed(P))
+        P.append(feats[-1])
+        target = P[0].shape[1:-1]
+        P = [P[0]] + [linear_resize(p, target, align_corners=True) for p in P[1:]]
+        y = jnp.concatenate(P, axis=-1)
+        y = _ConvBNRelu(fpn_out, 3, name="conv_fusion")(y, use_running_average)
+        return y
+
+
+class UperNet(nn.Module):
+    """Unified UperNet head; `spatial_dims` 2 or 3 selects the reference
+    UperNet2D / UperNet3D behavior (ref: seg_heads.py:79-147, 211-278)."""
+
+    num_classes: int
+    encoder_name: str                 # 'Swin' | 'ViT'
+    feature_channels: Sequence[int]   # backbone output_feature_channels
+    output_size: Sequence[int]        # (H, W) or (T, H, W)
+    spatial_dims: int = 2
+    vit_grid: Sequence[int] | None = None  # token grid for ViT reshape
+
+    @nn.compact
+    def __call__(self, hidden_states, use_running_average: bool = True,
+                 deterministic: bool = True):
+        taps = [-4, -3, -2, -1] if self.encoder_name == "Swin" else [4, 7, 10, -1]
+        feats = [hidden_states[i] for i in taps]
+        chans = [self.feature_channels[i] for i in taps]
+
+        if self.encoder_name == "ViT":
+            g = tuple(self.vit_grid)
+            feats = [f.reshape(f.shape[0], *g, f.shape[-1]) for f in feats]
+            if self.spatial_dims == 2 and len(g) == 3:
+                feats = [f[:, 0] for f in feats]
+        else:
+            if self.spatial_dims == 2:
+                feats = [f[:, 0] for f in feats]  # drop depth dim (D == 1)
+
+        feats[-1] = PSPModule(chans[-1], name="PPN")(feats[-1], use_running_average,
+                                                     deterministic)
+        x = FPNFuse(chans, name="FPN")(feats, use_running_average)
+        x = linear_resize(x, self.output_size, align_corners=False)
+        x = ConvNd(self.num_classes, 3, 1, use_bias=True, name="head")(x)
+        if self.spatial_dims == 2:
+            x = x[:, None]  # add back time dim -> (B, 1, H, W, C)
+        return x

@@ -1,0 +1,297 @@
+"""Swin backbone with swappable window mixer (attention / Hyena / Mamba).
+
+Reimplements the reference Swin path (ref: model/models/backbone_swin.py:44-911)
+TPU-first. Internal layout is channels-last (B, D, H, W, C) for both 2D and 3D
+models (2D keeps D == 1; patch/window/merge depth factors are 1, which makes
+the 3D relative-position/mask formulas reduce exactly to the 2D ones).
+
+Contract preserved from the reference:
+  * 4 stages of SwinTransformerBlocks; window shift on odd blocks, shift
+    disabled entirely for hyena/mamba (ref: :674)
+  * hyena/mamba run per-window on window-volume-length sequences (ref: :361-365)
+  * PatchMergingV2 downsample at the end of every stage (ref: :540-585)
+  * returns [input, x0_out..x4_out] with channels [e, 2e, 4e, 8e, 16e], each
+    proj_out'd through a parameterless layer norm (ref: :866-911)
+  * windows auto-shrink to the input grid (ref: :200-224)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (attention_reference, compute_shift_mask, get_window_size,
+                   relative_position_index, window_partition, window_reverse)
+from .hyena import HyenaOperator
+from .layers import MLPBlock, PatchEmbed, TorchDense, parameterless_layer_norm, trunc_normal_init
+from .mamba import MambaVisionMixer
+
+HYENA_L_MAX = 66000  # ref: backbone_swin.py:317
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHA with relative position bias, or hyena/mamba per window
+    (ref: backbone_swin.py:227-367). Input (B*nW, V, C)."""
+
+    dim: int
+    num_heads: int
+    window_size: Sequence[int]       # effective (possibly shrunk) window
+    qkv_bias: bool = True
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, use_hyena=False, use_mamba=False,
+                 deterministic: bool = True):
+        if use_hyena:
+            return HyenaOperator(d_model=self.dim, l_max=HYENA_L_MAX,
+                                 filter_order=64, num_heads=self.num_heads,
+                                 short_filter_order=5, name="hyena")(
+                x, deterministic=deterministic)
+        if use_mamba:
+            return MambaVisionMixer(d_model=self.dim, d_state=8, d_conv=3,
+                                    expand=1, name="mamba")(
+                x, deterministic=deterministic)
+
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        wd, wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table", trunc_normal_init(0.02),
+            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads))
+        index = relative_position_index(tuple(self.window_size))  # (V, V) static
+
+        qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        bias = table[index.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)[None]              # (1, H, V, V)
+        if mask is not None:
+            # window_partition flattens batch as (B, nW) with windows fastest,
+            # so tiling the per-window mask over axis 0 lines up with x's rows
+            # (ref: backbone_swin.py:349-352).
+            nw = mask.shape[0]
+            bias = bias + jnp.tile(mask[:, None], (b // nw, 1, 1, 1))
+        out = attention_reference(q, k, v, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = TorchDense(self.dim)(out)
+        return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+
+
+class PatchMergingV2(nn.Module):
+    """2x downsample, channels x2 (ref: backbone_swin.py:540-585).
+
+    Merges (2,2,2) neighborhoods for 3D models and (1,2,2) for 2D (depth kept).
+    """
+
+    dim: int
+    spatial_dims: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        md = 2 if self.spatial_dims == 3 else 1
+        pad_d, pad_h, pad_w = d % md, h % 2, w % 2
+        if pad_d or pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        parts = []
+        for i in range(md):
+            for j in range(2):
+                for k in range(2):
+                    di = x[:, i::md] if md == 2 else x
+                    parts.append(di[:, :, j::2, k::2, :])
+        x = jnp.concatenate(parts, axis=-1)
+        x = nn.LayerNorm(name="norm")(x)
+        return TorchDense(2 * self.dim, use_bias=False)(x)
+
+
+class SwinTransformerBlock(nn.Module):
+    """One Swin block: windowed mixer + MLP, with optional cyclic shift
+    (ref: backbone_swin.py:370-537)."""
+
+    dim: int
+    num_heads: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_hyena: bool = False
+    use_mamba: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        window_size, shift_size = get_window_size((d, h, w), self.window_size,
+                                                  self.shift_size)
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+
+        pad_d = (-d) % window_size[0]
+        pad_h = (-h) % window_size[1]
+        pad_w = (-w) % window_size[2]
+        if pad_d or pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        dp, hp, wp = d + pad_d, h + pad_h, w + pad_w
+
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x = jnp.roll(x, shift=tuple(-s for s in shift_size), axis=(1, 2, 3))
+            mask = attn_mask
+        else:
+            mask = None
+
+        x_windows = window_partition(x, window_size)      # (B*nW, V, C)
+        attn_windows = WindowAttention(
+            dim=self.dim, num_heads=self.num_heads, window_size=window_size,
+            qkv_bias=self.qkv_bias, dropout_rate=self.dropout_rate,
+            name="attn")(x_windows, mask, use_hyena=self.use_hyena,
+                         use_mamba=self.use_mamba, deterministic=deterministic)
+        x = window_reverse(attn_windows, window_size, (b, dp, hp, wp))
+
+        if shifted:
+            x = jnp.roll(x, shift=tuple(shift_size), axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            x = x[:, :d, :h, :w, :]
+
+        x = shortcut + x
+        x = x + MLPBlock(self.dim, int(self.dim * self.mlp_ratio),
+                         self.dropout_rate, name="mlp")(
+            nn.LayerNorm(name="norm2")(x), deterministic)
+        return x
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage: `depth` blocks + PatchMergingV2 (ref: backbone_swin.py:630-733)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Sequence[int]
+    spatial_dims: int = 3
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_hyena: bool = False
+    use_mamba: bool = False
+    use_checkpoint: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        no_shift = (0, 0, 0)
+        base_shift = (no_shift if (self.use_hyena or self.use_mamba)
+                      else tuple(s // 2 for s in self.window_size))
+        window_size, shift_size = get_window_size((d, h, w), self.window_size,
+                                                  base_shift)
+        pad_dims = tuple(-(-dim_ // ws) * ws for dim_, ws in
+                         zip((d, h, w), window_size))
+        attn_mask = (compute_shift_mask(pad_dims, window_size, shift_size)
+                     if any(s > 0 for s in shift_size) else None)
+
+        block_cls = SwinTransformerBlock
+        if self.use_checkpoint:
+            # args after self: (x=0, attn_mask=1, deterministic=2)
+            block_cls = nn.remat(SwinTransformerBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=no_shift if i % 2 == 0 else base_shift,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                use_hyena=self.use_hyena, use_mamba=self.use_mamba,
+                dropout_rate=self.dropout_rate,
+                name=f"block_{i}")(x, attn_mask, deterministic)
+        x = PatchMergingV2(dim=self.dim, spatial_dims=self.spatial_dims,
+                           name="downsample")(x)
+        return x
+
+
+class SwinBackbone(nn.Module):
+    """Full Swin encoder returning [input, x0_out..x4_out]
+    (ref: backbone_swin.py:735-911)."""
+
+    patch_size: Sequence[int]       # (pt, ph, pw) or (ph, pw)
+    window_size: Sequence[int]      # same rank as patch_size
+    in_channels: int
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_hyena: bool = False
+    use_mamba: bool = False
+    use_checkpoint: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, T, H, W, C). Returns 6 channels-last tensors with a depth axis."""
+        spatial_dims = 2 if len(self.patch_size) == 2 else 3
+        patch = ((1,) + tuple(self.patch_size)) if spatial_dims == 2 else tuple(self.patch_size)
+        window = ((1,) + tuple(self.window_size)) if spatial_dims == 2 else tuple(self.window_size)
+
+        hidden_states = [x]
+        x = PatchEmbed(patch_size=patch, embed_dim=self.embed_dim,
+                       name="patch_embed")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        hidden_states.append(parameterless_layer_norm(x))
+        for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            x = BasicLayer(
+                dim=int(self.embed_dim * 2 ** i), depth=depth, num_heads=heads,
+                window_size=window, spatial_dims=spatial_dims,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                use_hyena=self.use_hyena, use_mamba=self.use_mamba,
+                use_checkpoint=self.use_checkpoint,
+                dropout_rate=self.dropout_rate,
+                name=f"layer_{i}")(x, deterministic)
+            hidden_states.append(parameterless_layer_norm(x))
+        return hidden_states
+
+
+def swin_size_presets(size: str, cfg=None):
+    """Size presets (ref: backbone_swin.py:56-102)."""
+    presets = {
+        "unetr": dict(embed_dim=48, depths=[2, 2, 2, 2], num_heads=[3, 6, 12, 24]),
+        "tiny": dict(embed_dim=96, depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24]),
+        "small": dict(embed_dim=96, depths=[2, 2, 18, 2], num_heads=[3, 6, 12, 24]),
+        "base": dict(embed_dim=128, depths=[2, 2, 18, 2], num_heads=[4, 8, 16, 32]),
+        "large": dict(embed_dim=192, depths=[2, 2, 18, 2], num_heads=[6, 12, 24, 48]),
+    }
+    if size in presets:
+        return presets[size]
+    if size == "custom":
+        return dict(embed_dim=cfg.embed_dim, depths=list(cfg.depths),
+                    num_heads=list(cfg.num_heads))
+    raise ValueError(f"Unknown Swin size {size}")
+
+
+def build_swin(config, input_feature_channels: int):
+    """Config -> (module, output_feature_channels) (ref: backbone_swin.py:44-131)."""
+    preset = swin_size_presets(config.Swin.size, config.Swin)
+    config.Swin.embed_dim = preset["embed_dim"]
+    config.Swin.depths = list(preset["depths"])
+    config.Swin.num_heads = list(preset["num_heads"])
+
+    if config.time == 1:
+        patch = config.Swin.patch_size
+        window = config.Swin.window_size
+        patch = patch[1:] if len(patch) == 3 else patch
+        window = window[1:] if len(window) == 3 else window
+    else:
+        patch = config.Swin.patch_size
+        window = config.Swin.window_size
+
+    model = SwinBackbone(
+        patch_size=tuple(patch), window_size=tuple(window),
+        in_channels=input_feature_channels,
+        embed_dim=preset["embed_dim"], depths=tuple(preset["depths"]),
+        num_heads=tuple(preset["num_heads"]),
+        use_hyena=config.Swin.use_hyena, use_mamba=config.Swin.use_mamba)
+
+    e, nl = preset["embed_dim"], len(preset["depths"])
+    out_channels = [e * 2 ** (nl - i) for i in range(nl, 0, -1)] + [e * 2 ** nl]
+    return model, out_channels

@@ -1,0 +1,146 @@
+"""UNETR building blocks (native reimplementation of the MONAI blocks used by
+the reference enhance heads: UnetrBasicBlock / UnetrUpBlock / UnetrPrUpBlock /
+UnetOutBlock with instance norm + leaky-relu, ref: enhance_heads.py:25-356).
+
+Channels-last (B, *spatial, C); spatial rank 2 or 3 is inferred from input.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import fan_in_bias_init, torch_conv_kernel_init
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims (affine)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        axes = tuple(range(1, x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=axes, keepdims=True)
+        var = x32.var(axis=axes, keepdims=True)
+        y = (x32 - mean) / jnp.sqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (y * scale + bias).astype(x.dtype)
+
+
+class ConvNd(nn.Module):
+    """Rank-agnostic conv with torch-style init ('same'-style explicit padding)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int | Sequence[int] = 1
+    use_bias: bool = True
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        rank = x.ndim - 2
+        k = (self.kernel_size,) * rank if isinstance(self.kernel_size, int) \
+            else tuple(self.kernel_size)
+        s = (self.stride,) * rank if isinstance(self.stride, int) else tuple(self.stride)
+        receptive = 1
+        for kk in k:
+            receptive *= kk
+        bias_init = fan_in_bias_init(x.shape[-1] * receptive)
+        if self.transpose:
+            return nn.ConvTranspose(
+                self.features, kernel_size=k, strides=s, padding="VALID",
+                use_bias=self.use_bias, kernel_init=torch_conv_kernel_init,
+                bias_init=bias_init)(x)
+        pad = tuple(((kk - 1) // 2, kk // 2) for kk in k)
+        return nn.Conv(self.features, kernel_size=k, strides=s, padding=pad,
+                       use_bias=self.use_bias, kernel_init=torch_conv_kernel_init,
+                       bias_init=bias_init)(x)
+
+
+class UnetResBlock(nn.Module):
+    """conv-norm-lrelu x2 with a (projected) residual (MONAI UnetResBlock)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = ConvNd(self.out_channels, self.kernel_size, self.stride,
+                   use_bias=False, name="conv1")(x)
+        y = InstanceNorm(name="norm1")(y)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = ConvNd(self.out_channels, self.kernel_size, 1,
+                   use_bias=False, name="conv2")(y)
+        y = InstanceNorm(name="norm2")(y)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            residual = ConvNd(self.out_channels, 1, self.stride,
+                              use_bias=False, name="conv3")(x)
+            residual = InstanceNorm(name="norm3")(residual)
+        return nn.leaky_relu(y + residual, negative_slope=0.01)
+
+
+class UnetrBasicBlock(nn.Module):
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return UnetResBlock(self.out_channels, self.kernel_size, self.stride,
+                            name="layer")(x)
+
+
+class UnetrUpBlock(nn.Module):
+    """Transposed-conv upsample, concat skip, residual conv block."""
+
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int | Sequence[int] = 2
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = ConvNd(self.out_channels, self.upsample_kernel_size,
+                   self.upsample_kernel_size, use_bias=False, transpose=True,
+                   name="transp_conv")(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return UnetResBlock(self.out_channels, self.kernel_size, 1,
+                            name="conv_block")(x)
+
+
+class UnetrPrUpBlock(nn.Module):
+    """Progressive upsampler: initial transp conv + num_layer x (transp conv +
+    res block)."""
+
+    out_channels: int
+    num_layer: int
+    kernel_size: int = 3
+    upsample_kernel_size: int | Sequence[int] = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNd(self.out_channels, self.upsample_kernel_size,
+                   self.upsample_kernel_size, use_bias=False, transpose=True,
+                   name="transp_conv_init")(x)
+        for i in range(self.num_layer):
+            x = ConvNd(self.out_channels, self.upsample_kernel_size,
+                       self.upsample_kernel_size, use_bias=False, transpose=True,
+                       name=f"transp_{i}")(x)
+            x = UnetResBlock(self.out_channels, self.kernel_size, 1,
+                             name=f"res_{i}")(x)
+        return x
+
+
+class UnetOutBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return ConvNd(self.out_channels, 1, 1, use_bias=True, name="conv")(x)
