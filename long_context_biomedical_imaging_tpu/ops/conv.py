@@ -32,11 +32,13 @@ def depthwise_conv1d(x, w, b=None, padding: str = "same"):
         pads = [(ksize - 1, 0)]
     else:
         raise ValueError(f"unknown padding {padding}")
-    # lhs: (B, D, L); rhs (D, 1, K) with feature_group_count=D.
+    # lhs: (B, D, L); rhs (D, 1, K) with feature_group_count=D. Compute in the
+    # input dtype (mixed preferred_element_type breaks the conv transpose rule
+    # under AD); precision HIGHEST keeps fp32 accumulation for fp32 inputs.
     y = lax.conv_general_dilated(
-        x, w[:, None, :], window_strides=(1,), padding=pads,
+        x, w[:, None, :].astype(x.dtype), window_strides=(1,), padding=pads,
         dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=d,
-        preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+        precision=lax.Precision.HIGHEST)
     if b is not None:
-        y = y + b[None, :, None]
+        y = y + b[None, :, None].astype(y.dtype)
     return y.astype(x.dtype)

@@ -29,6 +29,12 @@ NEG_INF = -1e30
 _LANES = 128
 
 
+def _interpret() -> bool:
+    # Pallas on the CPU backend only runs in interpreter mode (used by the
+    # 8-virtual-device CPU test mesh); compiled Mosaic kernels on TPU.
+    return jax.default_backend() == "cpu"
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -121,6 +127,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        interpret=_interpret(),
     )(q, k, v)
     return out[:, :q_len], lse[:, :q_len, 0]
 
@@ -233,6 +240,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_interpret(),
     )(qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
@@ -258,6 +266,7 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        interpret=_interpret(),
     )(qp, kp, vp, dop, lsep, deltap)
 
     return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]

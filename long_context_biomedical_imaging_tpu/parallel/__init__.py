@@ -1,0 +1,4 @@
+from .mesh import (batch_sharding, create_mesh, replicated_sharding,
+                   shard_batch)
+
+__all__ = ["create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

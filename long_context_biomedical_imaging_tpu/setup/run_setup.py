@@ -42,6 +42,7 @@ def setup_logger(config: Config) -> logging.Logger:
 
     logger = logging.getLogger("lcbi")
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
     fh = logging.FileHandler(log_path)

@@ -1,0 +1,232 @@
+"""TrainManager: the training/eval runtime (ref: trainer/trainer_base.py:37-418).
+
+Owns the epoch/step loop, compiled-step dispatch over the device mesh, eval
+scheduling, scheduler stepping, best-checkpoint reload before final eval, and
+{split}_metrics.txt output. Where the reference wraps the model in DDP and
+spawns per-GPU processes, this manager jit-compiles one SPMD step over a
+Mesh('data','model') and feeds it host-sharded batches.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import BatchLoader
+from ..parallel import batch_sharding, create_mesh, replicated_sharding
+from ..utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from .train_state import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+class TrainManager:
+    def __init__(self, config, datasets: dict, model, loss_func, optim_manager,
+                 metric_manager):
+        self.config = config
+        self.datasets = datasets          # {'train','val','test'} -> NumpyDataset
+        self.model = model
+        self.loss_func = loss_func
+        self.optim = optim_manager
+        self.metrics = metric_manager
+        self.logger = logging.getLogger("lcbi")
+        self.file_logger = logging.getLogger("lcbi.file_only")
+        self.mesh = create_mesh()
+        self.rank = jax.process_index()
+
+        self._batch_shard = batch_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+
+    # -- state -----------------------------------------------------------------
+
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        shape = (2, cfg.time, cfg.height, cfg.width, cfg.no_in_channel)
+        rng = jax.random.PRNGKey(cfg.seed or 0)
+        # jitted init: tracing the full model op-by-op on device is minutes on
+        # large configs; one compiled graph is seconds
+        init = jax.jit(self.model.init, static_argnames=("deterministic",))
+        variables = init(rng, jnp.zeros(shape, jnp.float32), deterministic=True)
+        state = create_train_state(self.model, variables, self.optim.transform)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        self.logger.info("Model parameters: %.2fM", n_params / 1e6)
+        return state
+
+    def _maybe_load(self, state: TrainState) -> TrainState:
+        cfg = self.config
+        if cfg.model_load_path:
+            self.logger.info("Loading model from %s", cfg.model_load_path)
+            ckpt = load_checkpoint(cfg.model_load_path)
+            state = state.replace(
+                params=restore_into(state.params, ckpt["params"]),
+                batch_stats=restore_into(state.batch_stats,
+                                         ckpt.get("batch_stats", {})))
+            if cfg.continued_training:
+                if "opt_state" in ckpt and ckpt["opt_state"] is not None:
+                    state = state.replace(opt_state=restore_into(
+                        state.opt_state, ckpt["opt_state"]))
+                if "sched_state" in ckpt and ckpt["sched_state"]:
+                    self.optim.load_state_dict(ckpt["sched_state"])
+                self.optim.curr_epoch = int(ckpt.get("epoch", 0)) + 1
+                state = state.replace(step=jnp.asarray(
+                    int(ckpt.get("step", 0)), jnp.int32))
+        return state
+
+    def _state_for_checkpoint(self, state: TrainState) -> dict:
+        return {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": int(state.step),
+                "sched_state": self.optim.state_dict()}
+
+    # -- loaders -----------------------------------------------------------------
+
+    def _loader(self, split: str, shuffle: bool) -> BatchLoader:
+        cfg = self.config
+        workers = cfg.num_workers if cfg.num_workers > 0 else (os.cpu_count() or 4)
+        return BatchLoader(self.datasets[split], cfg.batch_size, shuffle=shuffle,
+                           seed=cfg.seed or 0, num_workers=min(workers, 16),
+                           prefetch_batches=cfg.prefetch_factor)
+
+    def _put(self, images, labels):
+        return (jax.device_put(images, self._batch_shard),
+                jax.device_put(labels, self._batch_shard))
+
+    # -- main ------------------------------------------------------------------
+
+    def run(self):
+        cfg = self.config
+        if self.rank <= 0:
+            self.metrics.init_wandb()
+        self.metrics.setup_wandb_and_metrics(self.rank)
+
+        state = self._maybe_load(self._init_state())
+
+        ran_training = False
+        epoch = self.optim.curr_epoch
+        if cfg.train_model:
+            state = self._train_loop(state)
+            ran_training = True
+            epoch = cfg.num_epochs
+
+            # reload best checkpoint before final eval (ref: trainer_base.py:224-228)
+            best = os.path.join(cfg.log_dir_run, "models", "model_best_checkpoint")
+            if os.path.exists(best):
+                ckpt = load_checkpoint(best)
+                state = state.replace(
+                    params=restore_into(state.params, ckpt["params"]),
+                    batch_stats=restore_into(state.batch_stats,
+                                             ckpt.get("batch_stats", {})))
+
+        # final evals (ref: trainer_base.py:234-242)
+        for split, do_eval, save in (
+                ("train", cfg.eval_train_set, cfg.save_train_samples),
+                ("val", cfg.eval_val_set, cfg.save_val_samples),
+                ("test", cfg.eval_test_set, cfg.save_test_samples)):
+            if do_eval:
+                avg = self._eval_model(state, split, epoch, final_eval=True,
+                                       save_samples=save)
+                self._write_metrics_file(split, avg)
+
+        self.metrics.on_training_end(self.rank, ran_training=ran_training)
+        return state
+
+    def _train_loop(self, state: TrainState) -> TrainState:
+        cfg = self.config
+        accum = max(1, cfg.iters_to_accumulate)
+        train_step = jax.jit(make_train_step(self.model, self.loss_func,
+                                             self.optim.transform,
+                                             use_amp=cfg.use_amp, accum=accum),
+                             donate_argnums=(0,))
+        loader = self._loader("train", shuffle=True)
+        rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
+        # host-side step counter — int(state.step) would force a device sync
+        # (expensive through remote-TPU relays) on every iteration
+        host_step = int(state.step)
+
+        for epoch in range(self.optim.curr_epoch, cfg.num_epochs):
+            loader.set_epoch(epoch)
+            self.metrics.on_train_epoch_start()
+            t0 = time.perf_counter()
+            images_buf, labels_buf, n_seen = [], [], 0
+
+            for it, (images, labels, ids, n_valid) in enumerate(loader):
+                if cfg.debug and it >= 3 * accum:
+                    break
+                images_buf.append(images)
+                labels_buf.append(labels)
+                if len(images_buf) < accum:
+                    continue
+
+                if accum > 1:
+                    im = np.stack(images_buf)
+                    lb = np.stack(labels_buf)
+                else:
+                    im, lb = images_buf[0], labels_buf[0]
+                images_buf, labels_buf = [], []
+
+                rng, sub = jax.random.split(rng)
+                lr = self.optim.current_lr(host_step, epoch)
+                im_d, lb_d = self._put(im, lb)
+                state, loss, output = train_step(state, im_d, lb_d, lr, sub)
+                host_step += 1
+                if accum > 1:
+                    labels_m = lb.reshape((-1,) + lb.shape[2:])
+                    n_keep = labels_m.shape[0]
+                else:
+                    labels_m, n_keep = labels, n_valid
+                self.metrics.on_train_step_end(
+                    jax.device_get(loss), jax.device_get(output)[:n_keep],
+                    labels_m[:n_keep], rank=self.rank, curr_lr=lr)
+                n_seen += n_valid
+
+            dt = time.perf_counter() - t0
+            avg = self.metrics.on_train_epoch_end(
+                self._state_for_checkpoint(state), epoch, rank=self.rank)
+            self.file_logger.info(
+                "epoch %d train: %s (%.1fs, %.2f samples/s)", epoch,
+                {k: round(v, 5) for k, v in avg.items()}, dt,
+                n_seen / max(dt, 1e-9))
+
+            if epoch % cfg.eval_frequency == 0:
+                val_avg = self._eval_model(state, "val", epoch, final_eval=False)
+                self.optim.plateau_step(val_avg["loss"])
+                self.file_logger.info("epoch %d val: %s", epoch,
+                                      {k: round(v, 5) for k, v in val_avg.items()})
+        return state
+
+    def _eval_model(self, state: TrainState, split: str, epoch: int,
+                    final_eval: bool, save_samples: bool = False) -> dict:
+        cfg = self.config
+        if not hasattr(self, "_eval_step"):
+            # build once — a fresh closure per eval would recompile every time
+            self._eval_step = jax.jit(make_eval_step(self.model, self.loss_func,
+                                                     use_amp=cfg.use_amp))
+        eval_step = self._eval_step
+        loader = self._loader(split, shuffle=False)
+        self.metrics.on_eval_epoch_start()
+        for it, (images, labels, ids, n_valid) in enumerate(loader):
+            if cfg.debug and it >= 3:
+                break
+            im_d, lb_d = self._put(images, labels)
+            loss, output = eval_step(state, im_d, lb_d)
+            self.metrics.on_eval_step_end(
+                jax.device_get(loss), jax.device_get(output)[:n_valid],
+                labels[:n_valid], ids[:n_valid], rank=self.rank,
+                save_samples=save_samples, split=split)
+        return self.metrics.on_eval_epoch_end(
+            self._state_for_checkpoint(state), epoch, split,
+            final_eval=final_eval, rank=self.rank)
+
+    def _write_metrics_file(self, split: str, metrics: dict):
+        """(ref: trainer_base.py:332-338)."""
+        if self.rank > 0:
+            return
+        path = os.path.join(self.config.log_dir_run, f"{split}_metrics.txt")
+        with open(path, "w") as f:
+            for name, val in metrics.items():
+                f.write(f"{name}: {val}\n")
+        self.logger.info("%s metrics: %s", split,
+                         {k: round(v, 5) for k, v in metrics.items()})

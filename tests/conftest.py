@@ -1,12 +1,16 @@
 """Test configuration: run everything on 8 virtual CPU devices.
 
-Must run before any `import jax` so the XLA flags take effect. This exercises
-the same Mesh/pjit code paths as a real v5e-8 (SURVEY.md §4).
+This environment's sitecustomize registers the axon TPU PJRT plugin before
+conftest runs, so JAX_PLATFORMS in the environment is not enough — we force
+the platform through jax.config after import. Set LCBI_TEST_TPU=1 to run the
+suite on the real chip instead (single device; mesh paths collapse to 1).
+
+8 fake CPU devices exercise the same Mesh/pjit code paths as a v5e-8
+(SURVEY.md §4).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -15,8 +19,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+if not os.environ.get("LCBI_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: model-wiring tests compile 12-layer graphs; cold
-# CPU compiles dominate test wall-clock otherwise.
+# compiles dominate test wall-clock otherwise.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

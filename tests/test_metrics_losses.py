@@ -1,0 +1,105 @@
+"""Golden tests: metrics vs sklearn, losses vs hand-computed / torch formulas."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import f1_score as sk_f1
+from sklearn.metrics import roc_auc_score
+
+from long_context_biomedical_imaging_tpu.metrics import (accuracy_top1, auroc,
+                                                         f1_score, psnr, ssim)
+
+
+def test_binary_auroc_matches_sklearn(rng):
+    scores = rng.random(200)
+    labels = (rng.random(200) > 0.6).astype(int)
+    got = auroc(scores, labels, binary=True)
+    want = roc_auc_score(labels, scores)
+    assert abs(got - want) < 1e-9
+
+
+def test_multiclass_auroc_matches_sklearn(rng):
+    probs = rng.random((300, 4))
+    probs /= probs.sum(1, keepdims=True)
+    labels = rng.integers(0, 4, 300)
+    got = auroc(probs, labels, binary=False)
+    want = roc_auc_score(labels, probs, multi_class="ovr", average="macro")
+    assert abs(got - want) < 1e-9
+
+
+def test_f1_matches_sklearn(rng):
+    # binary global
+    preds = rng.random(500)
+    labels = rng.integers(0, 2, 500)
+    got = f1_score(preds, labels, binary=True, num_classes=2)
+    want = sk_f1(labels, preds >= 0.5)
+    assert abs(got - want) < 1e-9
+    # multiclass macro on hard labels
+    hard = rng.integers(0, 5, 500)
+    labels5 = rng.integers(0, 5, 500)
+    got = f1_score(hard, labels5, binary=False, num_classes=5)
+    want = sk_f1(labels5, hard, average="macro", labels=list(range(5)))
+    assert abs(got - want) < 1e-9
+
+
+def test_accuracy(rng):
+    probs = rng.random((100, 3))
+    labels = rng.integers(0, 3, 100)
+    got = accuracy_top1(probs, labels, binary=False)
+    assert abs(got - (probs.argmax(1) == labels).mean()) < 1e-12
+
+
+def test_psnr_known_value():
+    t = np.zeros((1, 1, 8, 8))
+    p = np.full((1, 1, 8, 8), 0.1)
+    t[0, 0, 0, 0] = 1.0  # data_range = 1
+    mse = ((p - t) ** 2).mean()
+    assert abs(psnr(p, t) - 10 * np.log10(1 / mse)) < 1e-9
+
+
+def test_ssim_identity_and_noise(rng):
+    img = rng.random((2, 1, 32, 32))
+    assert ssim(img, img) > 0.9999
+    noisy = img + rng.normal(0, 0.5, img.shape)
+    assert ssim(noisy, img) < 0.6
+
+
+def test_losses_match_reference_formulas(rng):
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.losses import (charbonnier_loss,
+                                                            cross_entropy_loss,
+                                                            get_loss_func,
+                                                            mse_loss)
+
+    o = rng.normal(size=(2, 4, 8, 8, 3)).astype(np.float32)
+    t = rng.normal(size=(2, 4, 8, 8, 3)).astype(np.float32)
+    got = float(mse_loss(jnp.asarray(o), jnp.asarray(t)))
+    assert abs(got - ((o - t) ** 2).mean()) < 1e-5
+
+    got = float(charbonnier_loss(jnp.asarray(o), jnp.asarray(t)))
+    want = np.sqrt((o - t) ** 2 + 1e-6).mean()
+    assert abs(got - want) < 1e-5
+
+    # CE vs torch
+    import torch
+    logits = rng.normal(size=(8, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 8)
+    got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    want = float(torch.nn.functional.cross_entropy(
+        torch.tensor(logits), torch.tensor(labels)))
+    assert abs(got - want) < 1e-5
+
+    # registry resolves and combined is finite
+    comb = get_loss_func("CombinationEnhance")
+    v = float(comb(jnp.asarray(o), jnp.asarray(t)))
+    assert np.isfinite(v) and v > 0
+
+
+def test_gaussian_deriv_loss_zero_on_identical(rng):
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.losses import gaussian_deriv3d_loss
+    o = rng.normal(size=(1, 4, 16, 16, 1)).astype(np.float32)
+    assert float(gaussian_deriv3d_loss(jnp.asarray(o), jnp.asarray(o))) == 0.0
+    t = rng.normal(size=(1, 4, 16, 16, 1)).astype(np.float32)
+    assert float(gaussian_deriv3d_loss(jnp.asarray(o), jnp.asarray(t))) > 0.0
