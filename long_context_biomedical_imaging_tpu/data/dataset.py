@@ -19,7 +19,15 @@ import cv2
 import numpy as np
 import pandas as pd
 
+from .native_io import load_npy_batch
 from .transforms import apply_augmentations, normalize_shape, sample_augmentation_params
+
+
+def _load_npy(path: str) -> np.ndarray:
+    """np.load via the native GIL-free reader when built (native/parallel_io.cpp);
+    np.load holds the GIL for the whole disk read, which serializes the
+    loader's worker threads."""
+    return load_npy_batch([path])[0]
 
 
 class NumpyDataset:
@@ -84,7 +92,7 @@ class NumpyDataset:
         sid = self.subject_ids[index]
         cfg = self.config
         image_path = os.path.join(self.data_loc, sid, sid + "_input.npy")
-        image = np.load(image_path).astype(np.float32)
+        image = _load_npy(image_path).astype(np.float32)
         image = normalize_shape(image, cfg.height, cfg.width, cfg.time,
                                 cfg.no_in_channel)
 
@@ -98,7 +106,7 @@ class NumpyDataset:
             image = apply_augmentations(image, params)
 
         if self.task_type == "seg":
-            seg = np.load(image_path.replace("_input", "_output")).astype(np.float32)
+            seg = _load_npy(image_path.replace("_input", "_output")).astype(np.float32)
             seg = normalize_shape(seg, cfg.height, cfg.width, cfg.time, 1,
                                   interp=cv2.INTER_NEAREST)
             if params is not None:
@@ -107,7 +115,7 @@ class NumpyDataset:
             return image, seg[..., 0].astype(np.int32), sid
 
         if self.task_type == "enhance":
-            out = np.load(image_path.replace("_input", "_output")).astype(np.float32)
+            out = _load_npy(image_path.replace("_input", "_output")).astype(np.float32)
             out = normalize_shape(out, cfg.height, cfg.width, cfg.time,
                                   cfg.no_out_channel)
             if params is not None:

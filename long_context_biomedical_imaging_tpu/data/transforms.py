@@ -36,7 +36,9 @@ def normalize_shape(image: np.ndarray, height: int, width: int, time: int,
     def resize_xy(img):
         if img.shape[0] == height and img.shape[1] == width:
             return img
-        return cv2.resize(img, (width, height), interpolation=interp)
+        out = cv2.resize(img, (width, height), interpolation=interp)
+        # cv2 drops trailing singleton channel axes: (H, W, 1) -> (H, W)
+        return out.reshape((height, width) + img.shape[2:])
 
     def resize_depth(img):  # img: H, W, D(, C)
         d_axis = 2

@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import depthwise_conv1d, fft_causal_conv
+from ..ops import depthwise_conv1d_cm
+from ..ops.fftconv import causal_long_conv_cm
 from .layers import TorchDense
 
 
@@ -105,44 +106,44 @@ class HyenaOperator(nn.Module):
 
     @nn.compact
     def __call__(self, u, deterministic: bool = True):
+        """Channel-minor forward: every tensor keeps channels on the minor
+        (lane) axis — window-volume sequences of 16-512 tokens would waste the
+        128-lane VPU if the reference's (B, D, L) layout were kept."""
         b, l, d = u.shape
         assert l <= self.l_max, f"Input length {l} exceeds maximum length {self.l_max}"
         assert d == self.d_model
         head_dim = self.d_model // self.num_heads
         width = 3 * self.d_model
 
-        u = TorchDense(width)(u)                         # in_proj
-        u = u.transpose(0, 2, 1)                          # (b, 3d, l)
+        # in_proj emits [x1 | x2 | v] channel blocks (head-major inside each) —
+        # a learned permutation of the reference's interleaved layout.
+        z = TorchDense(width)(u)                          # (b, l, 3d)
 
-        # Short causal depthwise conv (ref: hyena.py:285-291,321 pads ks-1 then
-        # truncates to l == causal).
+        # Short causal depthwise conv (ref: hyena.py:285-291,321).
         w_short = self.param("short_filter_kernel",
                              depthwise_conv_init(self.short_filter_order),
                              (width, self.short_filter_order))
         b_short = self.param("short_filter_bias",
                              depthwise_conv_init(self.short_filter_order), (width,))
-        uc = depthwise_conv1d(u, w_short, b_short, padding="causal")
+        z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
 
-        # (b, heads, 3*head_dim, l) -> gates x1, x2 and value v (num_blocks==1).
-        uc = uc.reshape(b, self.num_heads, 3 * head_dim, l)
-        x1 = uc[:, :, :head_dim]
-        x2 = uc[:, :, head_dim:2 * head_dim]
-        v = uc[:, :, 2 * head_dim:]
+        x1 = z[..., :self.d_model]
+        x2 = z[..., self.d_model:2 * self.d_model]
+        v = z[..., 2 * self.d_model:]
 
         v = v * x1                                        # pre-gate
         v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
 
         filt = HyenaFilter(d_model=head_dim, order=self.filter_order,
                            seq_len=self.l_max, name="filter_fn")
-        k = filt(l).transpose(1, 0)                       # (head_dim, l)
-        bias = filt.bias                                  # (head_dim,)
-        # broadcast filter across heads: fold heads into batch
-        v = fft_causal_conv(v.reshape(b * self.num_heads, head_dim, l), k, bias)
-        v = v.reshape(b, self.num_heads, head_dim, l)
+        k = filt(l)                                       # (l, head_dim)
+        # per-channel kernel, shared across heads (head-major channel layout)
+        k_full = jnp.tile(k.T, (self.num_heads, 1))       # (d, l)
+        bias_full = jnp.tile(filt.bias, self.num_heads)   # (d,)
+        v = causal_long_conv_cm(v, k_full, bias_full)
 
         v = v * x2                                        # post-gate
-        y = v.reshape(b, self.d_model, l).transpose(0, 2, 1)
-        return TorchDense(self.d_model)(y)                # out_proj
+        return TorchDense(self.d_model)(v)                # out_proj
 
 
 def depthwise_conv_init(kernel_size: int):

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import depthwise_conv1d, selective_scan
+from ..ops import depthwise_conv1d_cm, selective_scan_chunked
+from ..ops.selective_scan import selective_scan_cm
 from .hyena import depthwise_conv_init
 from .layers import TorchDense
 
@@ -67,21 +68,22 @@ class MambaVisionMixer(nn.Module):
         d_half = d_inner // 2
         dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
 
-        xz = TorchDense(d_inner, use_bias=False)(hidden_states)  # in_proj
-        xz = xz.transpose(0, 2, 1)                                # (b, d_inner, l)
-        x, z = xz[:, :d_half], xz[:, d_half:]
+        # Channel-minor throughout: (b, l, channels) with channels on the VPU
+        # lanes — see selective_scan_cm for why the reference's (b, d, l)
+        # layout is hostile to TPU at window-volume sequence lengths.
+        xz = TorchDense(d_inner, use_bias=False)(hidden_states)  # (b, l, d_inner)
+        x, z = xz[..., :d_half], xz[..., d_half:]
 
         # Two depthwise conv branches, no bias (ref quirk), SiLU.
         wx = self.param("conv1d_x_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
         wz = self.param("conv1d_z_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
-        x = nn.silu(depthwise_conv1d(x, wx, None, "same"))
-        z = nn.silu(depthwise_conv1d(z, wz, None, "same"))
+        x = nn.silu(depthwise_conv1d_cm(x, wx, None, "same"))
+        z = nn.silu(depthwise_conv1d_cm(z, wz, None, "same"))
 
         # Input-dependent dt, B, C.
-        x_dbl = TorchDense(dt_rank + 2 * self.d_state, use_bias=False)(
-            x.transpose(0, 2, 1))                                  # (b, l, r+2n)
+        x_dbl = TorchDense(dt_rank + 2 * self.d_state, use_bias=False)(x)
         dt = x_dbl[..., :dt_rank]
         B = x_dbl[..., dt_rank:dt_rank + self.d_state]
         C = x_dbl[..., dt_rank + self.d_state:]
@@ -98,11 +100,17 @@ class MambaVisionMixer(nn.Module):
         A = -jnp.exp(A_log.astype(jnp.float32))
         D = self.param("D", nn.initializers.ones, (d_half,))
 
-        y = selective_scan(x, dt.transpose(0, 2, 1), A,
-                           B.transpose(0, 2, 1), C.transpose(0, 2, 1), D,
-                           delta_bias=dt_bias,  # added twice on purpose (see module docstring)
-                           delta_softplus=True)
+        L = hidden_states.shape[1]
+        if L <= 1024:
+            y = selective_scan_cm(x, dt, A, B, C, D,
+                                  delta_bias=dt_bias,  # added twice on purpose
+                                  delta_softplus=True)
+        else:
+            # long full-sequence (ViT) mixing: chunked associative scan
+            y = selective_scan_chunked(
+                x.transpose(0, 2, 1), dt.transpose(0, 2, 1), A,
+                B.transpose(0, 2, 1), C.transpose(0, 2, 1), D,
+                delta_bias=dt_bias, delta_softplus=True).transpose(0, 2, 1)
 
-        y = jnp.concatenate([y, z], axis=1)                        # (b, d_inner, l)
-        y = y.transpose(0, 2, 1)
+        y = jnp.concatenate([y, z], axis=-1)                       # (b, l, d_inner)
         return TorchDense(self.d_model, use_bias=False)(y)         # out_proj

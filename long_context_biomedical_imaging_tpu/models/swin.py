@@ -20,8 +20,22 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.linalg import block_diag as jsp_block_diag
+
+
+def _window_group(batch_windows: int, window_volume: int,
+                  n_windows: int | None) -> int:
+    """Largest power-of-2 group count G with G*V <= 256 that divides the window
+    batch (and the per-image window count when a shift mask is present)."""
+    target = max(1, 256 // window_volume)
+    g = 1
+    while (g * 2 <= target and batch_windows % (g * 2) == 0
+           and (n_windows is None or n_windows % (g * 2) == 0)):
+        g *= 2
+    return g
 
 from ..ops import (attention_reference, compute_shift_mask, get_window_size,
                    relative_position_index, window_partition, window_reverse)
@@ -63,20 +77,53 @@ class WindowAttention(nn.Module):
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads))
         index = relative_position_index(tuple(self.window_size))  # (V, V) static
 
-        qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # MXU-sizing: window volumes are tiny (16-512); per-window matmuls of
+        # size VxV waste the 128x128 systolic array. Group G consecutive
+        # windows into one sequence of G*V tokens and attend with a
+        # block-diagonal bias — G*x the score FLOPs, ~full MXU tiles.
+        group = _window_group(b, n, mask.shape[0] if mask is not None else None)
 
-        bias = table[index.reshape(-1)].reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)[None]              # (1, H, V, V)
-        if mask is not None:
-            # window_partition flattens batch as (B, nW) with windows fastest,
-            # so tiling the per-window mask over axis 0 lines up with x's rows
-            # (ref: backbone_swin.py:349-352).
-            nw = mask.shape[0]
-            bias = bias + jnp.tile(mask[:, None], (b // nw, 1, 1, 1))
-        out = attention_reference(q, k, v, bias=bias)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        rel = table[index.reshape(-1)].reshape(n, n, self.num_heads)
+        rel = rel.transpose(2, 0, 1)                      # (H, V, V)
+
+        if group > 1:
+            gn = group * n
+            xg = x.reshape(b // group, gn, c)
+            qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(xg)
+            qkv = qkv.reshape(b // group, gn, 3, self.num_heads, head_dim)
+            qkv = qkv.transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            blockmask = jnp.kron(jnp.eye(group, dtype=jnp.int8),
+                                 jnp.ones((n, n), dtype=jnp.int8)).astype(bool)
+            base = jnp.where(blockmask[None],
+                             jnp.kron(jnp.eye(group, dtype=rel.dtype), rel),
+                             -1e9)                         # (H, GV, GV)
+            if mask is not None:
+                nw = mask.shape[0]
+                mask_bd = jax.vmap(lambda blocks: jsp_block_diag(*blocks))(
+                    mask.reshape(nw // group, group, n, n))  # (nWg, GV, GV)
+                bias = base[None, None] + mask_bd[None, :, None]  # (1,nWg,H,GV,GV)
+                bsz = b // nw
+                q = q.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
+                k = k.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
+                v = v.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
+                out = attention_reference(q, k, v, bias=bias)
+                out = out.reshape(b // group, self.num_heads, gn, head_dim)
+            else:
+                out = attention_reference(q, k, v, bias=base[None])
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        else:
+            qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            bias = rel[None]                               # (1, H, V, V)
+            if mask is not None:
+                # window_partition flattens batch as (B, nW) windows-fastest
+                # (ref: backbone_swin.py:349-352)
+                nw = mask.shape[0]
+                bias = bias + jnp.tile(mask[:, None], (b // nw, 1, 1, 1))
+            out = attention_reference(q, k, v, bias=bias)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = TorchDense(self.dim)(out)
         return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 

@@ -42,3 +42,34 @@ def depthwise_conv1d(x, w, b=None, padding: str = "same"):
     if b is not None:
         y = y + b[None, :, None].astype(y.dtype)
     return y.astype(x.dtype)
+
+
+def depthwise_conv1d_cm(x, w, b=None, padding: str = "same"):
+    """Channel-minor depthwise conv over the *middle* axis.
+
+    TPU-first layout: x is (B, L, D) with channels on the 128-lane minor axis
+    (sequence lengths here are window volumes of 16-512, which would waste
+    7/8ths of the VPU if kept minor). Implemented as K shift-and-MAC steps —
+    K static taps of fused multiply-adds that XLA fuses into one kernel, with
+    a trivially efficient transpose-free backward (unlike conv_general's
+    depthwise gradient, which dominated the step profile).
+
+    Args:
+      x: (B, L, D); w: (D, K); b: (D,) or None.
+    """
+    d, ksize = w.shape
+    L = x.shape[1]
+    if padding == "same":
+        lo, hi = (ksize - 1) // 2, ksize // 2
+    elif padding == "causal":
+        lo, hi = ksize - 1, 0
+    else:
+        raise ValueError(f"unknown padding {padding}")
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+    wT = w.astype(jnp.float32).T  # (K, D)
+    y = jnp.zeros(x.shape, jnp.float32)
+    for j in range(ksize):
+        y = y + xp[:, j:j + L, :].astype(jnp.float32) * wT[j][None, None, :]
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, None, :]
+    return y.astype(x.dtype)

@@ -50,6 +50,20 @@ def _discretize(u, delta, A, B, delta_bias, delta_softplus):
     return a, b
 
 
+def selective_scan_auto(u, delta, A, B, C, D=None, delta_bias=None,
+                        delta_softplus=True, seq_max_len: int = 1024):
+    """Dispatching selective scan.
+
+    Windowed call sites (huge batch, L = window volume) route to the
+    sequential low-memory scan; long full-sequence mixing routes to the
+    chunked associative scan (log-depth, bounded memory).
+    """
+    L = u.shape[-1]
+    if L <= seq_max_len:
+        return selective_scan_seq(u, delta, A, B, C, D, delta_bias, delta_softplus)
+    return selective_scan_chunked(u, delta, A, B, C, D, delta_bias, delta_softplus)
+
+
 def selective_scan(u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=True):
     """Associative-scan selective scan.
 
@@ -111,6 +125,89 @@ def selective_scan_chunked(u, delta, A, B, C, D=None, delta_bias=None,
     y = ys.transpose(1, 2, 0, 3).reshape(bsz, dim, L + pad)[:, :, :L]
     if D is not None:
         y = y + u[:, :, :L].astype(jnp.float32) * D.astype(jnp.float32)[None, :, None]
+    return y.astype(u.dtype)
+
+
+def selective_scan_seq(u, delta, A, B, C, D=None, delta_bias=None,
+                       delta_softplus=True):
+    """Sequential selective scan with O(batch*dim*N) live state.
+
+    `lax.scan` over L whose rematerialized body reconstructs the discretized
+    (a_t, b_t) from the per-step slices of (u, delta, B) — so neither forward
+    nor backward ever materializes the (batch, dim, L, N) tensor the
+    associative formulation needs. This is the memory/bandwidth-optimal choice
+    for the windowed (Swin) call sites where the window batch is huge and L is
+    the window volume (16-512); latency is L sequential VPU steps.
+    """
+    Af = A.astype(jnp.float32)
+    db = None if delta_bias is None else delta_bias.astype(jnp.float32)
+
+    @jax.checkpoint
+    def step(h, xs):
+        u_t, d_t, B_t, C_t = xs            # (b,dim), (b,dim), (b,N), (b,N)
+        d_t = d_t.astype(jnp.float32)
+        if db is not None:
+            d_t = d_t + db[None, :]
+        if delta_softplus:
+            d_t = jax.nn.softplus(d_t)
+        a_t = jnp.exp(d_t[..., None] * Af[None])              # (b, dim, N)
+        b_t = (d_t * u_t.astype(jnp.float32))[..., None] * B_t.astype(
+            jnp.float32)[:, None, :]                           # (b, dim, N)
+        h = a_t * h + b_t
+        y_t = jnp.einsum("bdn,bn->bd", h, C_t.astype(jnp.float32))
+        return h, y_t
+
+    bsz, dim, L = u.shape
+    n = A.shape[1]
+    xs = (u.transpose(2, 0, 1), delta.transpose(2, 0, 1),
+          B.transpose(2, 0, 1), C.transpose(2, 0, 1))
+    h0 = jnp.zeros((bsz, dim, n), jnp.float32)
+    _, ys = jax.lax.scan(step, h0, xs)
+    y = ys.transpose(1, 2, 0)                                  # (b, dim, L)
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, :, None]
+    return y.astype(u.dtype)
+
+
+def selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
+                      delta_softplus=True):
+    """Channel-minor sequential selective scan (TPU-first layout).
+
+    All operands keep the channel dim minor/lane-major:
+      u, delta: (batch, L, dim); B, C: (batch, L, N); A: (dim, N); D: (dim,).
+    Carry is (batch, N, dim) so every per-step VPU op is (batch*N, dim) with
+    dim (48-768) on the 128 lanes — the (batch, dim, L) layout of the CUDA
+    kernel would put the window volume (16-512) on the lanes instead.
+    Rematerialized body: backward recomputes (a_t, b_t) instead of storing the
+    (batch, L, N, dim) discretization. Returns (batch, L, dim).
+    """
+    AT = A.astype(jnp.float32).T                              # (N, dim)
+    db = None if delta_bias is None else delta_bias.astype(jnp.float32)
+
+    @jax.checkpoint
+    def step(h, xs):
+        u_t, d_t, B_t, C_t = xs            # (b,dim), (b,dim), (b,N), (b,N)
+        d_t = d_t.astype(jnp.float32)
+        if db is not None:
+            d_t = d_t + db[None, :]
+        if delta_softplus:
+            d_t = jax.nn.softplus(d_t)
+        a_t = jnp.exp(d_t[:, None, :] * AT[None])             # (b, N, dim)
+        b_t = (d_t * u_t.astype(jnp.float32))[:, None, :] * B_t.astype(
+            jnp.float32)[:, :, None]                           # (b, N, dim)
+        h = a_t * h + b_t
+        y_t = jnp.einsum("bnd,bn->bd", h, C_t.astype(jnp.float32))
+        return h, y_t
+
+    bsz, L, dim = u.shape
+    n = A.shape[1]
+    xs = (u.transpose(1, 0, 2), delta.transpose(1, 0, 2),
+          B.transpose(1, 0, 2), C.transpose(1, 0, 2))
+    h0 = jnp.zeros((bsz, n, dim), jnp.float32)
+    _, ys = jax.lax.scan(step, h0, xs)
+    y = ys.transpose(1, 0, 2)                                 # (b, L, dim)
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, None, :]
     return y.astype(u.dtype)
 
 

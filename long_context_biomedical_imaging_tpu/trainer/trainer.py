@@ -51,8 +51,12 @@ class TrainManager:
         init = jax.jit(self.model.init, static_argnames=("deterministic",))
         variables = init(rng, jnp.zeros(shape, jnp.float32), deterministic=True)
         state = create_train_state(self.model, variables, self.optim.transform)
-        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
-        self.logger.info("Model parameters: %.2fM", n_params / 1e6)
+        if self.rank <= 0:
+            from ..utils.status import get_device_info, model_info
+            self.logger.info("%s", get_device_info())
+            model_info(self.model, state.params,
+                       jnp.zeros(shape, jnp.float32), logger=self.logger,
+                       flops=False if not cfg.get("with_timer") else None)
         return state
 
     def _maybe_load(self, state: TrainState) -> TrainState:
@@ -146,6 +150,10 @@ class TrainManager:
         # (expensive through remote-TPU relays) on every iteration
         host_step = int(state.step)
 
+        from ..utils.status import StepTimer
+        timer = StepTimer(enabled=bool(cfg.get("with_timer")),
+                          trace_dir=os.path.join(cfg.log_dir_run, "profile"))
+
         for epoch in range(self.optim.curr_epoch, cfg.num_epochs):
             loader.set_epoch(epoch)
             self.metrics.on_train_epoch_start()
@@ -170,6 +178,7 @@ class TrainManager:
                 rng, sub = jax.random.split(rng)
                 lr = self.optim.current_lr(host_step, epoch)
                 im_d, lb_d = self._put(im, lb)
+                timer.start_step()
                 state, loss, output = train_step(state, im_d, lb_d, lr, sub)
                 host_step += 1
                 if accum > 1:
@@ -180,9 +189,12 @@ class TrainManager:
                 self.metrics.on_train_step_end(
                     jax.device_get(loss), jax.device_get(output)[:n_keep],
                     labels_m[:n_keep], rank=self.rank, curr_lr=lr)
+                timer.end_step()
                 n_seen += n_valid
 
             dt = time.perf_counter() - t0
+            if timer.enabled:
+                self.file_logger.info("epoch %d %s", epoch, timer.summary())
             avg = self.metrics.on_train_epoch_end(
                 self._state_for_checkpoint(state), epoch, rank=self.rank)
             self.file_logger.info(

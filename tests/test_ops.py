@@ -149,3 +149,51 @@ def test_flash_attention_grads(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_channel_minor_variants_match(rng):
+    """Channel-minor conv/scan must equal the channel-major implementations."""
+    import jax
+
+    from long_context_biomedical_imaging_tpu.ops import (causal_long_conv_cm,
+                                                         depthwise_conv1d_cm,
+                                                         fft_causal_conv,
+                                                         selective_scan_cm)
+
+    # depthwise conv
+    x = jnp.asarray(rng.normal(size=(2, 12, 16)).astype(np.float32))  # (b, L, D)
+    w = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    for pad in ("same", "causal"):
+        got = depthwise_conv1d_cm(x, w, b, pad)
+        want = depthwise_conv1d(x.transpose(0, 2, 1), w, b, pad).transpose(0, 2, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    # causal long conv (direct path L=12 <= 64)
+    k = jnp.asarray(rng.normal(size=(16, 12)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    got = causal_long_conv_cm(x, k, bias)
+    want = fft_causal_conv(x.transpose(0, 2, 1), k, bias).transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # channel-minor scan vs reference (incl. grads)
+    bs, d, l, n = 2, 8, 20, 4
+    u = jnp.asarray(rng.normal(size=(bs, l, d)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(bs, l, d)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(bs, l, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(bs, l, n)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    got = selective_scan_cm(u, delta, A, B, C, D)
+    want = selective_scan_reference(
+        u.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+        B.transpose(0, 2, 1), C.transpose(0, 2, 1), D).transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda u_: jnp.sum(selective_scan_cm(u_, delta, A, B, C, D)))(u)
+    g2 = jax.grad(lambda u_: jnp.sum(selective_scan_reference(
+        u_.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+        B.transpose(0, 2, 1), C.transpose(0, 2, 1), D)))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
