@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops import depthwise_conv1d_cm, selective_scan_chunked
 from ..ops.selective_scan import selective_scan_cm
+from ..ops.selective_scan_pallas import pallas_scan_supported, selective_scan_pallas
 from .hyena import depthwise_conv_init
 from .layers import TorchDense
 
@@ -101,7 +102,13 @@ class MambaVisionMixer(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_half,))
 
         L = hidden_states.shape[1]
-        if L <= 1024:
+        if pallas_scan_supported(L, self.d_state, d_half,
+                                 batch=hidden_states.shape[0]):
+            # windowed regime: fused Pallas kernel (state never leaves VMEM)
+            y = selective_scan_pallas(x, dt, A, B, C, D,
+                                      delta_bias=dt_bias,  # added twice on purpose
+                                      delta_softplus=True)
+        elif L <= 1024:
             y = selective_scan_cm(x, dt, A, B, C, D,
                                   delta_bias=dt_bias,  # added twice on purpose
                                   delta_softplus=True)

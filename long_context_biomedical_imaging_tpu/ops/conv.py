@@ -65,11 +65,14 @@ def depthwise_conv1d_cm(x, w, b=None, padding: str = "same"):
         lo, hi = ksize - 1, 0
     else:
         raise ValueError(f"unknown padding {padding}")
+    # Compute in the input dtype: under bf16 AMP the K<=8-tap accumulation in
+    # bf16 costs ~2 bits of mantissa but halves the HBM traffic of what is a
+    # purely bandwidth-bound op.
     xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
-    wT = w.astype(jnp.float32).T  # (K, D)
-    y = jnp.zeros(x.shape, jnp.float32)
-    for j in range(ksize):
-        y = y + xp[:, j:j + L, :].astype(jnp.float32) * wT[j][None, None, :]
+    wT = w.astype(x.dtype).T  # (K, D)
+    y = xp[:, 0:L, :] * wT[0][None, None, :]
+    for j in range(1, ksize):
+        y = y + xp[:, j:j + L, :] * wT[j][None, None, :]
     if b is not None:
-        y = y + b.astype(jnp.float32)[None, None, :]
-    return y.astype(x.dtype)
+        y = y + b.astype(x.dtype)[None, None, :]
+    return y

@@ -63,14 +63,14 @@ def causal_long_conv_cm(u, k, bias=None):
     """
     L = u.shape[1]
     if L <= _CM_DIRECT_MAX_LEN:
-        u32 = u.astype(jnp.float32)
-        kT = k.astype(jnp.float32).T              # (L, D)
-        y = u32 * kT[0][None, None, :]
+        # input-dtype shift-and-MAC: bandwidth-bound; bf16 under AMP
+        kT = k.astype(u.dtype).T                  # (L, D)
+        y = u * kT[0][None, None, :]
         for tau in range(1, L):
-            shifted = jnp.pad(u32, ((0, 0), (tau, 0), (0, 0)))[:, :L]
+            shifted = jnp.pad(u, ((0, 0), (tau, 0), (0, 0)))[:, :L]
             y = y + shifted * kT[tau][None, None, :]
         if bias is not None:
-            y = y + u32 * bias.astype(jnp.float32)[None, None, :]
-        return y.astype(u.dtype)
+            y = y + u * bias.astype(u.dtype)[None, None, :]
+        return y
     y = fft_causal_conv(u.transpose(0, 2, 1), k, bias)
     return y.transpose(0, 2, 1)

@@ -183,10 +183,10 @@ def selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
     """
     AT = A.astype(jnp.float32).T                              # (N, dim)
     db = None if delta_bias is None else delta_bias.astype(jnp.float32)
+    bsz, L, dim = u.shape
+    n = A.shape[1]
 
-    @jax.checkpoint
-    def step(h, xs):
-        u_t, d_t, B_t, C_t = xs            # (b,dim), (b,dim), (b,N), (b,N)
+    def step(h, u_t, d_t, B_t, C_t):
         d_t = d_t.astype(jnp.float32)
         if db is not None:
             d_t = d_t + db[None, :]
@@ -199,12 +199,13 @@ def selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
         y_t = jnp.einsum("bnd,bn->bd", h, C_t.astype(jnp.float32))
         return h, y_t
 
-    bsz, L, dim = u.shape
-    n = A.shape[1]
+    h0 = jnp.zeros((bsz, n, dim), jnp.float32)
+    step_r = jax.checkpoint(lambda h, xs: step(h, *xs))
     xs = (u.transpose(1, 0, 2), delta.transpose(1, 0, 2),
           B.transpose(1, 0, 2), C.transpose(1, 0, 2))
-    h0 = jnp.zeros((bsz, n, dim), jnp.float32)
-    _, ys = jax.lax.scan(step, h0, xs)
+    # partial unroll amortizes per-step scan overhead without the compile-time
+    # blowup of fully inlining the recurrence into every block
+    _, ys = jax.lax.scan(step_r, h0, xs, unroll=min(L, 8))
     y = ys.transpose(1, 0, 2)                                 # (b, L, dim)
     if D is not None:
         y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, None, :]

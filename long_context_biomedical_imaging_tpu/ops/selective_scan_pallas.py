@@ -1,0 +1,327 @@
+"""Pallas TPU kernel for the windowed selective scan (forward + custom VJP).
+
+Replaces the mamba-ssm CUDA `selective_scan_fn` for the Swin call sites
+(ref: model/models/mamba.py:125-134 via backbone_swin.py:361-365): sequence
+length is a window volume (16-64) and the window batch is huge, so the whole
+recurrence fits in VMEM per block and the discretized (N x D) state never
+touches HBM — the XLA formulations pay N x the HBM traffic.
+
+Layout is channel-minor: u, delta (BW, L, D); B, C (BW, L, N); the state is a
+(block, N*D) row tile with channels n-major on the 128 lanes. Per-step
+broadcasts/reductions between (bb, N) and (bb, N*D) are expressed as matmuls
+with constant 0/1 block matrices (MXU ops, no gathers):
+  expand E (N, N*D):  X_rep = X @ E        X_rep[., n*D+d] = X[., n]
+  reduce F (N*D, N):  S     = Y @ F        S[., n] = sum_d Y[., n*D+d]
+
+Backward runs two in-kernel passes: recompute the h history into VMEM
+scratch, then a reverse sweep producing du/ddelta/dB/dC plus per-grid dA
+partials (summed in XLA). The D-skip and delta-bias terms live in the wrapper
+where their grads are trivial.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _block_rows(L: int, nd: int) -> int:
+    """Rows per grid block: keep the h history under ~6MB of VMEM."""
+    # h history + double-buffered in/out blocks must fit the ~16MB scoped VMEM;
+    # stay well under it
+    budget = 2 * 1024 * 1024
+    per_row = (L * nd + 6 * nd) * 4
+    rows = budget // max(per_row, 1)
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if cand <= rows:
+            return cand
+    return 8
+
+
+def _expand_reduce(N: int, D: int):
+    e = np.kron(np.eye(N, dtype=np.float32), np.ones((1, D), np.float32))
+    return jnp.asarray(e), jnp.asarray(e.T)     # E (N, ND), F (ND, N)
+
+
+def _dot(a, b):
+    # HIGHEST: these matmuls carry state values; default MXU precision would
+    # round f32 operands to bf16 (0/1 expanders are exact either way, but the
+    # value operand is not)
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+
+# NOTE on the y reduction: sum over n of h[., n*D+d] * C[., n] keeps the d
+# axis, which the (ND, N) reducer cannot produce; we need a (ND, D) reducer.
+def _reduce_over_n(N: int, D: int):
+    f = np.kron(np.ones((N, 1), np.float32), np.eye(D, dtype=np.float32))
+    return jnp.asarray(f)                                   # (ND, D)
+
+
+def _make_fwd_kernel(L, N, D, softplus):
+    def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, y_ref, h_scr):
+        h_scr[:] = jnp.zeros_like(h_scr)
+        a_flat = at_ref[0]
+        E = e_ref[:]                                        # (N, ND)
+        Fn = fn_ref[:]                                      # (ND, D)
+
+        def body(t, _):
+            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            d_t = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            if softplus:
+                d_t = jax.nn.softplus(d_t)
+            bu = d_t * u_t
+            d_rep = pltpu.repeat(d_t, N, axis=1)
+            bu_rep = pltpu.repeat(bu, N, axis=1)
+            B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            a_t = jnp.exp(d_rep * a_flat[None, :])
+            h = a_t * h_scr[:] + bu_rep * _dot(B_t, E)
+            h_scr[:] = h
+            y = _dot(h * _dot(C_t, E), Fn)                  # (bb, D)
+            y_ref[:, pl.ds(t, 1), :] = y.astype(y_ref.dtype)[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, L, body, 0)
+
+    return kernel
+
+
+def _fwd(u, delta, AT, B, C, softplus: bool):
+    BW, L, D = u.shape
+    N = AT.shape[0]
+    nd = N * D
+    bb = _block_rows(L, nd)
+    pad = (-BW) % bb
+    if pad:
+        u = jnp.pad(u, ((0, pad), (0, 0), (0, 0)))
+        delta = jnp.pad(delta, ((0, pad), (0, 0), (0, 0)))
+        B = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, pad), (0, 0), (0, 0)))
+    grid = ((BW + pad) // bb,)
+    at_flat = AT.astype(jnp.float32).reshape(1, nd)
+    E, _ = _expand_reduce(N, D)
+    Fn = _reduce_over_n(N, D)
+
+    y = pl.pallas_call(
+        _make_fwd_kernel(L, N, D, softplus),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nd), lambda i: (0, 0)),
+            pl.BlockSpec((N, nd), lambda i: (0, 0)),
+            pl.BlockSpec((nd, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, L, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bb, nd), jnp.float32)],
+        interpret=_interpret(),
+    )(u, delta, B, C, at_flat, E, Fn)
+    return y[:BW]
+
+
+# --------------------------------------------------------------------------- #
+# Backward
+# --------------------------------------------------------------------------- #
+
+def _make_bwd_kernel(L, N, D, softplus):
+    def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, fr_ref, g_ref,
+               du_ref, dd_ref, dB_ref, dC_ref, dA_ref, hist_scr, dh_scr, dA_scr):
+        a_flat = at_ref[0]
+        E = e_ref[:]                                        # (N, ND)
+        Fn = fn_ref[:]                                      # (ND, D) sum over n
+        Fr = fr_ref[:]                                      # (ND, N) sum over d
+
+        # pass 1: recompute h history
+        def fwd_body(t, h):
+            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            d_t = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            if softplus:
+                d_t = jax.nn.softplus(d_t)
+            bu_rep = pltpu.repeat(d_t * u_t, N, axis=1)
+            d_rep = pltpu.repeat(d_t, N, axis=1)
+            B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            a_t = jnp.exp(d_rep * a_flat[None, :])
+            h = a_t * h + bu_rep * _dot(B_t, E)
+            hist_scr[:, pl.ds(t, 1), :] = h[:, None, :]
+            return h
+
+        bb = u_ref.shape[0]
+        jax.lax.fori_loop(0, L, fwd_body, jnp.zeros((bb, N * D), jnp.float32))
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dA_scr[:] = jnp.zeros_like(dA_scr)
+
+        # pass 2: reverse sweep
+        def bwd_body(i, _):
+            t = L - 1 - i
+            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            raw_d = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            d_t = jax.nn.softplus(raw_d) if softplus else raw_d
+            bu = d_t * u_t
+            d_rep = pltpu.repeat(d_t, N, axis=1)
+            bu_rep = pltpu.repeat(bu, N, axis=1)
+            B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            a_t = jnp.exp(d_rep * a_flat[None, :])
+            g_t = g_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+
+            h_t = hist_scr[:, pl.ds(t, 1), :][:, 0, :]
+            h_prev = hist_scr[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][:, 0, :]
+            h_prev = jnp.where(t > 0, h_prev, jnp.zeros_like(h_prev))
+
+            g_rep = pltpu.repeat(g_t, N, axis=1)
+            dh = dh_scr[:] + _dot(C_t, E) * g_rep           # total dL/dh_t
+
+            dC = _dot(h_t * g_rep, Fr)                      # (bb, N)
+            da = dh * h_prev
+            dA_scr[:] = dA_scr[:] + jnp.sum(da * a_t * d_rep, axis=0,
+                                            keepdims=True)
+            B_rep = _dot(B_t, E)
+            db_full = dh                                     # d b_t (bb, ND)
+            du = d_t * _dot(db_full * B_rep, Fn)             # (bb, D)
+            ddt = u_t * _dot(db_full * B_rep, Fn) \
+                + _dot(da * a_t * a_flat[None, :], Fn)
+            dB = _dot(db_full * bu_rep, Fr)                  # (bb, N)
+            if softplus:
+                ddt = ddt * jax.nn.sigmoid(raw_d)
+
+            du_ref[:, pl.ds(t, 1), :] = du.astype(du_ref.dtype)[:, None, :]
+            dd_ref[:, pl.ds(t, 1), :] = ddt.astype(dd_ref.dtype)[:, None, :]
+            dB_ref[:, pl.ds(t, 1), :] = dB.astype(dB_ref.dtype)[:, None, :]
+            dC_ref[:, pl.ds(t, 1), :] = dC.astype(dC_ref.dtype)[:, None, :]
+
+            dh_scr[:] = a_t * dh
+            return 0
+
+        jax.lax.fori_loop(0, L, bwd_body, 0)
+        # Mosaic wants >=8 sublanes; pad the dA partial into an (8, nd) tile.
+        dA_ref[0] = jnp.concatenate(
+            [dA_scr[:], jnp.zeros((7, dA_scr.shape[1]), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _bwd(softplus, res, g):
+    u, delta, AT, B, C = res
+    BW, L, D = u.shape
+    N = AT.shape[0]
+    nd = N * D
+    bb = _block_rows(L, nd)
+    pad = (-BW) % bb
+
+    def padrow(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+    up, dp, Bp, Cp, gp = map(padrow, (u, delta, B, C, g))
+    grid = ((BW + pad) // bb,)
+    at_flat = AT.astype(jnp.float32).reshape(1, nd)
+    E, Fr = _expand_reduce(N, D)
+    Fn = _reduce_over_n(N, D)
+
+    du, dd, dB, dC, dA_part = pl.pallas_call(
+        _make_bwd_kernel(L, N, D, softplus),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nd), lambda i: (0, 0)),
+            pl.BlockSpec((N, nd), lambda i: (0, 0)),
+            pl.BlockSpec((nd, D), lambda i: (0, 0)),
+            pl.BlockSpec((nd, N), lambda i: (0, 0)),
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, nd), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BW + pad, L, D), u.dtype),
+            jax.ShapeDtypeStruct((BW + pad, L, D), delta.dtype),
+            jax.ShapeDtypeStruct((BW + pad, L, N), B.dtype),
+            jax.ShapeDtypeStruct((BW + pad, L, N), C.dtype),
+            jax.ShapeDtypeStruct(((BW + pad) // bb, 8, nd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, L, nd), jnp.float32),
+            pltpu.VMEM((bb, nd), jnp.float32),
+            pltpu.VMEM((1, nd), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(up, dp, Bp, Cp, at_flat, E, Fn, Fr, gp)
+
+    dAT = jnp.sum(dA_part, axis=(0, 1)).reshape(N, D)
+    return du[:BW], dd[:BW], dAT, dB[:BW], dC[:BW]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _scan_core(u, delta, AT, B, C, softplus):
+    return _fwd(u, delta, AT, B, C, softplus)
+
+
+def _scan_fwd_rule(u, delta, AT, B, C, softplus):
+    y = _fwd(u, delta, AT, B, C, softplus)
+    return y, (u, delta, AT, B, C)
+
+
+_scan_core.defvjp(_scan_fwd_rule, _bwd)
+
+PALLAS_SCAN_MAX_LEN = 64
+# Mosaic (2026-08 toolchain) crashes compiling the kernel at N*D >= 3072, and
+# profiling shows the kernel only beats the XLA scan where the window batch is
+# huge and the state row is narrow (shallow Swin stages) — deep stages get
+# tiny VMEM blocks and serialize on the in-kernel time loop.
+PALLAS_SCAN_MAX_ND = 1024
+PALLAS_SCAN_MIN_BATCH = 8192
+
+
+def pallas_scan_supported(L: int, n: int, d: int, batch: int | None = None) -> bool:
+    ok = L <= PALLAS_SCAN_MAX_LEN and n * d <= PALLAS_SCAN_MAX_ND
+    if batch is not None:
+        ok = ok and batch >= PALLAS_SCAN_MIN_BATCH
+    return ok
+
+
+def selective_scan_pallas(u, delta, A, B, C, D=None, delta_bias=None,
+                          delta_softplus=True):
+    """Channel-minor selective scan on the Pallas kernel.
+
+    u, delta: (BW, L, D); A: (D, N); B, C: (BW, L, N); D/delta_bias: (D,).
+    Requires L <= PALLAS_SCAN_MAX_LEN (windowed regime). Returns (BW, L, D).
+    """
+    if u.shape[1] > PALLAS_SCAN_MAX_LEN:
+        raise ValueError(f"selective_scan_pallas supports L<={PALLAS_SCAN_MAX_LEN}")
+    AT = A.astype(jnp.float32).T                       # (N, D)
+    # fp32 at the kernel boundary: Mosaic mishandles dynamic sublane slices on
+    # bf16 blocks with non-128-multiple minor dims, and the recurrence wants
+    # fp32 state anyway
+    u32 = u.astype(jnp.float32)
+    d32 = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        d32 = d32 + delta_bias.astype(jnp.float32)[None, None, :]
+    y = _scan_core(u32, d32, AT, B.astype(jnp.float32), C.astype(jnp.float32),
+                   delta_softplus)
+    if D is not None:
+        y = y + u32 * D.astype(jnp.float32)[None, None, :]
+    return y.astype(u.dtype)

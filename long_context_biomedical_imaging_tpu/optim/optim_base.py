@@ -31,17 +31,20 @@ def compute_total_updates(config, num_train_samples: int) -> int:
 def _torch_onecycle_lr(step: int, max_lr: float, total_steps: int,
                        pct_start: float, div_factor: float = 25.0,
                        final_div_factor: float = 1e4) -> float:
-    """torch OneCycleLR with cosine annealing (the reference default)."""
+    """torch OneCycleLR with cosine annealing — exact step-for-step parity
+    (torch anneals over [0, pct*total-1] then [pct*total-1, total-1])."""
     initial_lr = max_lr / div_factor
     min_lr = initial_lr / final_div_factor
-    up_steps = max(1, int(pct_start * total_steps))
-    down_steps = max(1, total_steps - up_steps)
-    step = min(step, total_steps)
-    if step <= up_steps:
-        pct = step / up_steps
-        return initial_lr + (max_lr - initial_lr) * (1 - math.cos(math.pi * pct)) / 2
-    pct = (step - up_steps) / down_steps
-    return min_lr + (max_lr - min_lr) * (1 + math.cos(math.pi * pct)) / 2
+    up_end = max(pct_start * total_steps - 1, 1e-9)
+    down_end = max(total_steps - 1 - up_end, 1e-9)
+    step = min(step, total_steps - 1)
+
+    def anneal(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + math.cos(math.pi * pct))
+
+    if step <= up_end:
+        return anneal(initial_lr, max_lr, step / up_end)
+    return anneal(max_lr, min_lr, (step - up_end) / down_end)
 
 
 class OptimManager:
@@ -74,9 +77,17 @@ class OptimManager:
             parts.append(optax.identity())
             self.transform = optax.chain(*parts)
         elif otype == "lbfgs":
-            raise NotImplementedError(
-                "lbfgs requires a value-and-grad closure; not wired into the "
-                "compiled train step yet")
+            # torch LBFGS with line_search_fn=None and max_iter=1 per batch:
+            # an L-BFGS-preconditioned direction scaled by lr. (The reference's
+            # torch LBFGS would run max_iter inner closures per step; the
+            # compiled-step formulation applies one preconditioned update per
+            # batch.) wd folds in as L2 like the other torch optimizers.
+            parts = []
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_lbfgs(
+                memory_size=int(getattr(config.optim, "history_size", 100))))
+            self.transform = optax.chain(*parts)
         else:
             raise ValueError(f"Unknown optim_type {otype}")
 

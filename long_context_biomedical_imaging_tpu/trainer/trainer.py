@@ -111,7 +111,15 @@ class TrainManager:
         ran_training = False
         epoch = self.optim.curr_epoch
         if cfg.train_model:
-            state = self._train_loop(state)
+            try:
+                state = self._train_loop(state)
+            except KeyboardInterrupt:
+                # graceful shutdown (ref: trainer_base.py:403-410) — the last
+                # completed-epoch state is kept on self by the train loop
+                self.logger.warning("KeyboardInterrupt — stopping training early")
+                state = getattr(self, "_last_state", state)
+                save_checkpoint(self.config, "model_interrupted",
+                                self._state_for_checkpoint(state))
             ran_training = True
             epoch = cfg.num_epochs
 
@@ -186,8 +194,14 @@ class TrainManager:
                     n_keep = labels_m.shape[0]
                 else:
                     labels_m, n_keep = labels, n_valid
+                loss_host = float(jax.device_get(loss))
+                if not np.isfinite(loss_host):
+                    # fail fast like the reference's in-loss NaN guards
+                    # (ref: enhancement_losses.py:55-56,225-226)
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {host_step}")
                 self.metrics.on_train_step_end(
-                    jax.device_get(loss), jax.device_get(output)[:n_keep],
+                    loss_host, jax.device_get(output)[:n_keep],
                     labels_m[:n_keep], rank=self.rank, curr_lr=lr)
                 timer.end_step()
                 n_seen += n_valid
@@ -207,6 +221,7 @@ class TrainManager:
                 self.optim.plateau_step(val_avg["loss"])
                 self.file_logger.info("epoch %d val: %s", epoch,
                                       {k: round(v, 5) for k, v in val_avg.items()})
+            self._last_state = state
         return state
 
     def _eval_model(self, state: TrainState, split: str, epoch: int,

@@ -197,3 +197,34 @@ def test_channel_minor_variants_match(rng):
         u_.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
         B.transpose(0, 2, 1), C.transpose(0, 2, 1), D)))(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_selective_scan_parity(rng):
+    """Pallas windowed scan vs golden reference (fwd + all grads)."""
+    from long_context_biomedical_imaging_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas)
+
+    bw, l, d, n = 24, 16, 8, 4
+    u = jnp.asarray(rng.normal(size=(bw, l, d)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(bw, l, d)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(bw, l, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(bw, l, n)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def ref(u, delta, A, B, C):
+        return selective_scan_reference(
+            u.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+            B.transpose(0, 2, 1), C.transpose(0, 2, 1), D, db).transpose(0, 2, 1)
+
+    got = selective_scan_pallas(u, delta, A, B, C, D, db)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(u, delta, A, B, C)),
+                               rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(selective_scan_pallas(*a, D, db))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -1,0 +1,72 @@
+"""Optimizer/scheduler semantics: OneCycle parity vs torch, StepLR, plateau,
+total-update math, optimizer construction."""
+
+import numpy as np
+import pytest
+
+from long_context_biomedical_imaging_tpu.optim import OptimManager, compute_total_updates
+from long_context_biomedical_imaging_tpu.setup import parse_config
+
+
+def make_optim(**over):
+    argv = []
+    for k, v in over.items():
+        argv.append(f"--{k}={v}")
+    cfg = parse_config(argv=argv)
+    return cfg, OptimManager(cfg, num_train_samples=100)
+
+
+def test_onecycle_matches_torch():
+    import torch
+
+    cfg, om = make_optim(scheduler_type="OneCycleLR", batch_size=10, num_epochs=5)
+    total = om.total_updates
+    assert total == 50
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=cfg.optim.lr)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=cfg.optim.lr, total_steps=total,
+        pct_start=cfg.scheduler.pct_start)
+    for step in range(total):
+        torch_lr = sched.get_last_lr()[0]
+        ours = om.current_lr(step, epoch=step // 10)
+        assert ours == pytest.approx(torch_lr, rel=2e-2, abs=1e-9), f"step {step}"
+        opt.step()
+        sched.step()
+
+
+def test_step_lr():
+    cfg, om = make_optim(scheduler_type="StepLR")
+    base = cfg.optim.lr
+    g, s = cfg.scheduler.gamma, cfg.scheduler.step_size
+    assert om.current_lr(0, epoch=0) == base
+    assert om.current_lr(0, epoch=s) == pytest.approx(base * g)
+    assert om.current_lr(0, epoch=3 * s) == pytest.approx(base * g ** 3)
+
+
+def test_plateau_semantics():
+    cfg, om = make_optim(scheduler_type="ReduceLROnPlateau")
+    base = cfg.optim.lr
+    om.plateau_step(1.0)             # best
+    assert om.current_lr(0, 0) == base
+    om.plateau_step(1.1)             # worse once; patience=0 -> reduce
+    assert om.current_lr(0, 0) == pytest.approx(base * cfg.scheduler.factor)
+    om.plateau_step(0.5)             # improves, no change
+    assert om.current_lr(0, 0) == pytest.approx(base * cfg.scheduler.factor)
+    # never below min_lr
+    for _ in range(500):
+        om.plateau_step(2.0)
+    assert om.current_lr(0, 0) >= cfg.scheduler.min_lr
+
+
+def test_all_optimizers_construct():
+    for otype in ("adam", "adamw", "nadam", "sgd", "lbfgs"):
+        cfg, om = make_optim(optim_type=otype)
+        assert om.transform is not None
+
+
+def test_total_updates_with_accumulation():
+    cfg = parse_config(argv=["--batch_size=8", "--iters_to_accumulate=2",
+                             "--num_epochs=3"])
+    assert compute_total_updates(cfg, 100) == int(np.ceil(100 / 16)) * 3
