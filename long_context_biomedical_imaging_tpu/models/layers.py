@@ -101,11 +101,42 @@ class MLPBlock(nn.Module):
         return x
 
 
+def extract_patches(x, patch_size):
+    """(B, *spatial, C) -> (B, *spatial/p, prod(p)*C) via reshape/transpose.
+
+    TPU-idiomatic patchify: a stride=kernel conv on a low-channel full-res
+    image forces XLA into a 128-lane-padded layout of the whole input (a 1-ch
+    256^2x64 volume ballooned to 2GB in bf16); folding patches into channels
+    first makes the projection a plain matmul on a well-shaped tensor.
+    """
+    b = x.shape[0]
+    spatial = x.shape[1:-1]
+    c = x.shape[-1]
+    assert len(spatial) == len(patch_size)
+    new_shape = [b]
+    for s, p in zip(spatial, patch_size):
+        if s % p != 0:
+            raise ValueError(f"spatial {spatial} not divisible by patch {patch_size}")
+        new_shape += [s // p, p]
+    x = x.reshape(*new_shape, c)
+    rank = len(spatial)
+    # (B, s0', p0, s1', p1, ..., C) -> (B, s0', s1', ..., p0, p1, ..., C)
+    perm = ([0] + [1 + 2 * i for i in range(rank)]
+            + [2 + 2 * i for i in range(rank)] + [1 + 2 * rank])
+    x = x.transpose(*perm)
+    feat = c
+    for p in patch_size:
+        feat *= p
+    return x.reshape(b, *[s // p for s, p in zip(spatial, patch_size)], feat)
+
+
 class PatchEmbeddingBlock(nn.Module):
-    """ViT patchify: strided conv projection + optional learnable pos-embed.
+    """ViT patchify: patch projection + optional learnable pos-embed.
 
     Input (B, *spatial, C) -> tokens (B, L, hidden). Position embeddings are
     disabled when the mixer is hyena/mamba (ref: backbone_vit.py:349).
+    `dtype` is the compute dtype (bf16 under AMP): the cast happens after
+    patch extraction, where the channel axis is wide enough to tile cleanly.
     """
 
     img_size: Sequence[int]
@@ -113,6 +144,7 @@ class PatchEmbeddingBlock(nn.Module):
     hidden_size: int
     pos_embed_type: str = "learnable"  # 'learnable' | 'none'
     dropout_rate: float = 0.0
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -121,31 +153,35 @@ class PatchEmbeddingBlock(nn.Module):
             if i % p != 0:
                 raise ValueError(f"img_size {self.img_size} not divisible by patch {self.patch_size}")
             n_patches *= i // p
-        x = nn.Conv(self.hidden_size, kernel_size=tuple(self.patch_size),
-                    strides=tuple(self.patch_size), padding="VALID",
-                    kernel_init=torch_conv_kernel_init,
-                    bias_init=nn.initializers.zeros)(x)
-        x = x.reshape(x.shape[0], -1, self.hidden_size)  # row-major (T',H',W') order
+        x = extract_patches(x, tuple(self.patch_size))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(self.hidden_size, kernel_init=torch_conv_kernel_init,
+                     bias_init=nn.initializers.zeros)(x)
+        x = x.reshape(x.shape[0], -1, self.hidden_size)  # row-major (T',H',W')
         if self.pos_embed_type == "learnable":
             pos = self.param("position_embeddings", trunc_normal_init(0.02),
                              (1, n_patches, self.hidden_size))
-            x = x + pos
+            x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
 
 class PatchEmbed(nn.Module):
-    """Swin patchify: strided conv, stays on the spatial grid (B,*s,C)->(B,*s',E)."""
+    """Swin patchify: patch projection, stays on the spatial grid
+    (B,*s,C)->(B,*s',E). See PatchEmbeddingBlock for the reshape-based design."""
 
     patch_size: Sequence[int]
     embed_dim: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.embed_dim, kernel_size=tuple(self.patch_size),
-                       strides=tuple(self.patch_size), padding="VALID",
-                       kernel_init=torch_conv_kernel_init,
-                       bias_init=nn.initializers.zeros)(x)
+        x = extract_patches(x, tuple(self.patch_size))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return nn.Dense(self.embed_dim, kernel_init=torch_conv_kernel_init,
+                        bias_init=nn.initializers.zeros)(x)
 
 
 def parameterless_layer_norm(x, eps: float = 1e-5):

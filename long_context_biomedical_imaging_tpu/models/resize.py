@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,15 +49,18 @@ def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _apply_axis_matrices(x, matrices, first_axis: int):
-    """Apply per-axis (out, in) matrices to consecutive axes starting at first_axis."""
+    """Apply per-axis (out, in) matrices to consecutive axes starting at first_axis.
+
+    Computes in the input dtype: full-resolution 3D feature maps make fp32
+    intermediates multi-GB transients under bf16 AMP, and interpolation
+    weights are short convex sums where bf16 is ample."""
     for offset, m in enumerate(matrices):
         axis = first_axis + offset
-        mj = jnp.asarray(m, dtype=jnp.float32)
-        x32 = x.astype(jnp.float32)
-        x32 = jnp.tensordot(x32, mj, axes=[[axis], [1]])
+        mj = jnp.asarray(m).astype(x.dtype)
+        y = jnp.tensordot(x, mj, axes=[[axis], [1]],
+                          precision=jax.lax.Precision.HIGHEST)
         # tensordot moves the contracted axis to the end; rotate it back.
-        x32 = jnp.moveaxis(x32, -1, axis)
-        x = x32.astype(x.dtype)
+        x = jnp.moveaxis(y, -1, axis)
     return x
 
 

@@ -273,6 +273,7 @@ class SwinBackbone(nn.Module):
     use_mamba: bool = False
     use_checkpoint: bool = False
     dropout_rate: float = 0.0
+    embed_dtype: jnp.dtype | None = None  # bf16 under AMP; cast post-patchify
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -283,7 +284,7 @@ class SwinBackbone(nn.Module):
 
         hidden_states = [x]
         x = PatchEmbed(patch_size=patch, embed_dim=self.embed_dim,
-                       name="patch_embed")(x)
+                       dtype=self.embed_dtype, name="patch_embed")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         hidden_states.append(parameterless_layer_norm(x))
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
@@ -337,7 +338,9 @@ def build_swin(config, input_feature_channels: int):
         in_channels=input_feature_channels,
         embed_dim=preset["embed_dim"], depths=tuple(preset["depths"]),
         num_heads=tuple(preset["num_heads"]),
-        use_hyena=config.Swin.use_hyena, use_mamba=config.Swin.use_mamba)
+        use_hyena=config.Swin.use_hyena, use_mamba=config.Swin.use_mamba,
+        use_checkpoint=bool(config.Swin.get("use_checkpoint", False)),
+        embed_dtype=jnp.bfloat16 if config.get("use_amp") else None)
 
     e, nl = preset["embed_dim"], len(preset["depths"])
     out_channels = [e * 2 ** (nl - i) for i in range(nl, 0, -1)] + [e * 2 ** nl]

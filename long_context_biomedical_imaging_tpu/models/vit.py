@@ -97,6 +97,7 @@ class ViTBackbone(nn.Module):
     classification: bool = False
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    embed_dtype: jnp.dtype | None = None  # bf16 under AMP; cast post-patchify
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -111,7 +112,8 @@ class ViTBackbone(nn.Module):
             img_size=self.img_size, patch_size=self.patch_size,
             hidden_size=self.hidden_size,
             pos_embed_type="none" if use_alt else "learnable",
-            dropout_rate=self.dropout_rate, name="patch_embedding",
+            dropout_rate=self.dropout_rate, dtype=self.embed_dtype,
+            name="patch_embedding",
         )(x, deterministic=deterministic)
 
         if self.classification and not use_alt:
@@ -164,5 +166,6 @@ def build_vit(config, input_feature_channels: int):
         img_size=tuple(img_size), patch_size=tuple(patch),
         in_channels=input_feature_channels,
         use_hyena=config.ViT.use_hyena, use_mamba=config.ViT.use_mamba,
-        classification=config.task_type == "class", **preset)
+        classification=config.task_type == "class",
+        embed_dtype=jnp.bfloat16 if config.get("use_amp") else None, **preset)
     return model, [preset["hidden_size"]] * (preset["num_layers"] + 1)

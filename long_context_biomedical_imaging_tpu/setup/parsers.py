@@ -134,6 +134,10 @@ def build_model_parser(model_type: str) -> argparse.ArgumentParser:
         p.add_argument("--Swin.num_heads", nargs="+", type=int, default=[3, 6, 12, 24])
         p.add_argument("--Swin.use_hyena", type=str_to_bool, default=False)
         p.add_argument("--Swin.use_mamba", type=str_to_bool, default=False)
+        p.add_argument("--Swin.use_checkpoint", type=str_to_bool, default=False,
+                       help="Gradient checkpointing on Swin blocks (rematerialize "
+                            "activations in backward; needed for 500k+ token 3D "
+                            "configs on one chip)")
     return p
 
 

@@ -50,12 +50,13 @@ def make_train_step(model, loss_func: Callable, transform,
 
     def forward(params, batch_stats, images, labels, rng):
         p = params
-        x = images
+        x = images  # stays fp32: the backbone casts after patchify (a bf16
+        # cast of a low-channel full-res volume forces a 128-lane-padded
+        # layout — 2GB for abct's 1-channel input)
         if use_amp:
             p = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, p)
-            x = x.astype(jnp.bfloat16)
         variables = {"params": p, "batch_stats": batch_stats}
         out, mutated = model.apply(
             variables, x, deterministic=False, use_running_average=False,
@@ -100,12 +101,11 @@ def make_train_step(model, loss_func: Callable, transform,
 def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
     def eval_step(state: TrainState, images, labels):
         p = state.params
-        x = images
+        x = images  # fp32; backbone casts post-patchify
         if use_amp:
             p = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, p)
-            x = x.astype(jnp.bfloat16)
         variables = {"params": p, "batch_stats": state.batch_stats}
         out = model.apply(variables, x, deterministic=True,
                           use_running_average=True)
