@@ -291,13 +291,15 @@ _flash_attention_bhld.defvjp(_fwd_rule, _flash_bwd)
 
 
 def flash_attention(q, k, v, scale: float | None = None,
-                    block_q: int = 256, block_k: int = 512):
+                    block_q: int = 512, block_k: int = 2048):
     """Multi-head attention via the Pallas flash kernel.
 
     Args:
       q, k, v: (B, H, L, D) arrays (any float dtype; compute in fp32 on MXU).
       scale: softmax scale; defaults to D**-0.5.
-      block_q/block_k: tile sizes (tuned for v5e VMEM; D<=128 assumed).
+      block_q/block_k: tile sizes. Defaults tuned on v5e at 16k tokens, d=64:
+        (512, 2048) reaches ~66 bf16 TFLOP/s fwd+bwd vs ~29 at (256, 512);
+        larger tiles crash the Mosaic compiler on this toolchain.
 
     Returns (B, H, L, D) attention output in q.dtype.
     """
