@@ -120,10 +120,13 @@ class NumpyDataset:
                                   cfg.no_out_channel)
             if params is not None:
                 # enhancement targets get geometric + brightness (same draws),
-                # no blur (ref: data_utils.py:133-135,139-140)
+                # no blur (ref: data_utils.py:133-135,139-140). Brightness must
+                # match the input path: scale first, then shift by the mean of
+                # the *scaled* image (ref: brightness.py:24-27).
                 out = apply_augmentations(out, params, photometric=False)
                 if params.apply_brightness:
-                    out = out * params.alpha + params.beta * out.mean()
+                    out = out * params.alpha
+                    out = out + params.beta * out.mean()
             return image, out.astype(np.float32), sid
 
         if self.task_type == "class":

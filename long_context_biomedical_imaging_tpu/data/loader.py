@@ -88,14 +88,27 @@ class BatchLoader:
                 labels = np.concatenate([labels, labels[:1].repeat(reps, axis=0)])
             return images, labels, ids, n_valid
 
+        def put_or_stop(item) -> bool:
+            # never block forever: an early-exiting consumer (e.g. --debug)
+            # sets `stop` and must be able to unblock a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in batches:
-                    if stop.is_set():
+                    if stop.is_set() or not put_or_stop(collate(b)):
                         return
-                    q.put(collate(b))
             finally:
-                q.put(None)
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass
 
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         thread = threading.Thread(target=producer, daemon=True)
@@ -108,4 +121,11 @@ class BatchLoader:
                 yield item
         finally:
             stop.set()
+            # drain so a producer blocked on a full queue can observe `stop`
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5.0)
             self._pool.shutdown(wait=False)

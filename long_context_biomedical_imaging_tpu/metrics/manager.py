@@ -79,9 +79,11 @@ class MetricManager:
             if self.wandb_run is not None:
                 self.wandb_run.define_metric("epoch")
                 for n in train_names:
-                    self.wandb_run.define_metric(f"train_{n}", step_metric="epoch")
+                    self.wandb_run.define_metric(f"train/{n}", step_metric="epoch")
                 for n in eval_names:
-                    self.wandb_run.define_metric(f"val_{n}", step_metric="epoch")
+                    for split in ("val", "test", "train"):
+                        self.wandb_run.define_metric(f"{split}/{n}",
+                                                     step_metric="epoch")
             self.best_val_loss = np.inf
 
     # -- shared postprocessing (ref: metrics_base.py:156-170, 248-264) --------

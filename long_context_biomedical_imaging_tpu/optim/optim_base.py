@@ -120,19 +120,22 @@ class OptimManager:
         """Epoch-end plateau update (ref: trainer_base.py:211-214)."""
         if self.config.scheduler_type != "ReduceLROnPlateau":
             return
+        # torch ReduceLROnPlateau order: improvement check, then cooldown
+        # zeroes the bad-epoch count *after* the increment, then the reduction
+        # test — so no reductions fire while cooling down.
         s = self.config.scheduler
-        if self._plateau_cooldown > 0:
-            self._plateau_cooldown -= 1
-            self._plateau_bad_epochs = 0
         if val_loss < self._plateau_best:
             self._plateau_best = val_loss
             self._plateau_bad_epochs = 0
         else:
             self._plateau_bad_epochs += 1
-            if self._plateau_bad_epochs > s.patience:
-                self._plateau_scale *= s.factor
-                self._plateau_cooldown = s.cooldown
-                self._plateau_bad_epochs = 0
+        if self._plateau_cooldown > 0:
+            self._plateau_cooldown -= 1
+            self._plateau_bad_epochs = 0
+        if self._plateau_bad_epochs > s.patience:
+            self._plateau_scale *= s.factor
+            self._plateau_cooldown = s.cooldown
+            self._plateau_bad_epochs = 0
 
     # -- resume (ref: optim_base.py:122-144) ------------------------------------
 

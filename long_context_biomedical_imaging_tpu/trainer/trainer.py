@@ -94,9 +94,15 @@ class TrainManager:
                            seed=cfg.seed or 0, num_workers=min(workers, 16),
                            prefetch_batches=cfg.prefetch_factor)
 
-    def _put(self, images, labels):
-        return (jax.device_put(images, self._batch_shard),
-                jax.device_put(labels, self._batch_shard))
+    def _put(self, images, labels, accum: bool = False):
+        if accum:
+            # (accum, B, ...) batches: shard the *batch* axis, not the
+            # microbatch axis the scan iterates over
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(self.mesh, P(None, "data"))
+        else:
+            shard = self._batch_shard
+        return jax.device_put(images, shard), jax.device_put(labels, shard)
 
     # -- main ------------------------------------------------------------------
 
@@ -114,12 +120,18 @@ class TrainManager:
             try:
                 state = self._train_loop(state)
             except KeyboardInterrupt:
-                # graceful shutdown (ref: trainer_base.py:403-410) — the last
-                # completed-epoch state is kept on self by the train loop
+                # graceful shutdown (ref: trainer_base.py:403-410). Any state
+                # still on device may have been donated into a later step, so
+                # recover from the durable per-epoch checkpoint instead.
                 self.logger.warning("KeyboardInterrupt — stopping training early")
-                state = getattr(self, "_last_state", state)
-                save_checkpoint(self.config, "model_interrupted",
-                                self._state_for_checkpoint(state))
+                last = os.path.join(cfg.log_dir_run, "models", "model_last_epoch")
+                if os.path.exists(last):
+                    ckpt = load_checkpoint(last)
+                    state = self._init_state()
+                    state = state.replace(
+                        params=restore_into(state.params, ckpt["params"]),
+                        batch_stats=restore_into(state.batch_stats,
+                                                 ckpt.get("batch_stats", {})))
             ran_training = True
             epoch = cfg.num_epochs
 
@@ -173,6 +185,7 @@ class TrainManager:
                     break
                 images_buf.append(images)
                 labels_buf.append(labels)
+                n_seen += n_valid
                 if len(images_buf) < accum:
                     continue
 
@@ -185,7 +198,7 @@ class TrainManager:
 
                 rng, sub = jax.random.split(rng)
                 lr = self.optim.current_lr(host_step, epoch)
-                im_d, lb_d = self._put(im, lb)
+                im_d, lb_d = self._put(im, lb, accum=accum > 1)
                 timer.start_step()
                 state, loss, output = train_step(state, im_d, lb_d, lr, sub)
                 host_step += 1
@@ -204,7 +217,6 @@ class TrainManager:
                     loss_host, jax.device_get(output)[:n_keep],
                     labels_m[:n_keep], rank=self.rank, curr_lr=lr)
                 timer.end_step()
-                n_seen += n_valid
 
             dt = time.perf_counter() - t0
             if timer.enabled:
@@ -221,7 +233,6 @@ class TrainManager:
                 self.optim.plateau_step(val_avg["loss"])
                 self.file_logger.info("epoch %d val: %s", epoch,
                                       {k: round(v, 5) for k, v in val_avg.items()})
-            self._last_state = state
         return state
 
     def _eval_model(self, state: TrainState, split: str, epoch: int,

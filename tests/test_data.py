@@ -122,3 +122,32 @@ def test_native_reader_parity(tmp_path, rng):
     got = load_npy_batch(paths)
     for g, p in zip(got, paths):
         np.testing.assert_array_equal(g, np.load(p))
+
+
+def test_loader_early_exit_does_not_leak(tmp_path):
+    """Breaking out of iteration (e.g. --debug) must unblock and join the
+    producer thread even with a full prefetch queue."""
+    import threading
+
+    _make_class_dataset(tmp_path, n=20)
+    cfg = Config()
+    cfg.data_dir = str(tmp_path)
+    cfg.split_csv_path = None
+    cfg.task_type = "class"
+    cfg.height = cfg.width = 8
+    cfg.time = 1
+    cfg.no_in_channel = 1
+    cfg.no_out_channel = 2
+    cfg.percent_data = 1.0
+    cfg.seed = 0
+    cfg.affine_aug = cfg.brightness_aug = cfg.gaussian_blur_aug = False
+    ds = NumpyDataset(cfg, "train")
+    before = threading.active_count()
+    for _ in range(3):
+        loader = BatchLoader(ds, batch_size=2, shuffle=False, seed=0,
+                             prefetch_batches=1)
+        for _i, _batch in enumerate(loader):
+            break  # early exit with a full queue behind us
+    import time as _t
+    _t.sleep(0.5)
+    assert threading.active_count() <= before + 2

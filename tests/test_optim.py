@@ -70,3 +70,19 @@ def test_total_updates_with_accumulation():
     cfg = parse_config(argv=["--batch_size=8", "--iters_to_accumulate=2",
                              "--num_epochs=3"])
     assert compute_total_updates(cfg, 100) == int(np.ceil(100 / 16)) * 3
+
+
+def test_plateau_cooldown_blocks_reductions():
+    """torch semantics: while cooling down, stagnation must not reduce again."""
+    cfg, om = make_optim(scheduler_type="ReduceLROnPlateau")
+    cfg.scheduler.cooldown = 2
+    base = cfg.optim.lr
+    f = cfg.scheduler.factor
+    om.plateau_step(1.0)   # best
+    om.plateau_step(1.5)   # bad > patience(0) -> reduce, cooldown=2
+    assert om.current_lr(0, 0) == pytest.approx(base * f)
+    om.plateau_step(1.5)   # cooling down: no reduction
+    om.plateau_step(1.5)   # cooling down: no reduction
+    assert om.current_lr(0, 0) == pytest.approx(base * f)
+    om.plateau_step(1.5)   # cooldown over: reduce again
+    assert om.current_lr(0, 0) == pytest.approx(base * f * f)
