@@ -102,6 +102,7 @@ class WindowAttention(nn.Module):
                 nw = mask.shape[0]
                 mask_bd = jax.vmap(lambda blocks: jsp_block_diag(*blocks))(
                     mask.reshape(nw // group, group, n, n))  # (nWg, GV, GV)
+                mask_bd = mask_bd.astype(rel.dtype)  # keep bias in compute dtype
                 bias = base[None, None] + mask_bd[None, :, None]  # (1,nWg,H,GV,GV)
                 bsz = b // nw
                 q = q.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
@@ -121,7 +122,8 @@ class WindowAttention(nn.Module):
                 # window_partition flattens batch as (B, nW) windows-fastest
                 # (ref: backbone_swin.py:349-352)
                 nw = mask.shape[0]
-                bias = bias + jnp.tile(mask[:, None], (b // nw, 1, 1, 1))
+                bias = bias + jnp.tile(mask.astype(rel.dtype)[:, None],
+                                       (b // nw, 1, 1, 1))
             out = attention_reference(q, k, v, bias=bias)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = TorchDense(self.dim)(out)
