@@ -22,4 +22,5 @@ $RUN \
                 --optim_type=adam --optim.lr=1e-5 --optim.beta1=0.9 --optim.beta2=0.99 \
                 --scheduler_type OneCycleLR \
                 --device=tpu --use_amp --num_workers=16 --seed 1 \
-                --checkpoint_frequency 500 --override
+                --checkpoint_frequency 500 --override \
+                "$@"
