@@ -99,26 +99,37 @@ class BatchLoader:
                     continue
             return False
 
+        error: list = []
+
         def producer():
             try:
                 for b in batches:
                     if stop.is_set() or not put_or_stop(collate(b)):
                         return
+            except BaseException as e:  # surfaced to the consumer below
+                error.append(e)
             finally:
-                try:
-                    q.put_nowait(None)
-                except queue.Full:
-                    pass
+                # The end-of-epoch sentinel must never be dropped: block (with
+                # stop-awareness) rather than put_nowait, which silently loses
+                # it when the queue is full and leaves the consumer hung.
+                put_or_stop(None)
 
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=5.0)
+                except queue.Empty:
+                    if not thread.is_alive():
+                        break  # producer died without a sentinel
+                    continue
                 if item is None:
                     break
                 yield item
+            if error:
+                raise error[0]
         finally:
             stop.set()
             # drain so a producer blocked on a full queue can observe `stop`

@@ -126,6 +126,25 @@ class MetricManager:
     def on_train_epoch_start(self):
         for m in self.train_metrics.values():
             m.reset()
+        self._grad_norm_meter = AverageMeter()
+
+    def on_train_step_end_device(self, stats, names, n, rank=0, curr_lr=None):
+        """Update meters from device-computed metrics:
+        stats = [loss, *names, grad_norm] (one small host fetch per step
+        instead of the full model output; ref computes train metrics on-GPU
+        too, metrics_base.py:150-183). The trailing grad norm is the
+        wandb.watch-equivalent (ref trainer_base.py:108)."""
+        stats = np.asarray(stats, dtype=np.float64)
+        self.train_metrics["loss"].update(float(stats[0]), n=n)
+        for name, val in zip(names, stats[1:]):
+            if name in self.train_metrics:
+                self.train_metrics[name].update(float(val), n=n)
+        self._grad_norm_meter.update(float(stats[-1]), n=1)
+        if rank <= 0 and self.wandb_run is not None:
+            log = {"grad_norm": float(stats[-1])}
+            if curr_lr is not None:
+                log["lr"] = float(curr_lr)
+            self.wandb_run.log(log)
 
     def on_train_step_end(self, loss, output, labels, rank=0, curr_lr=None):
         output = np.asarray(output)
@@ -160,6 +179,14 @@ class MetricManager:
                 for name, val in average.items():
                     self.wandb_run.log({"epoch": epoch, f"train/{name}": val},
                                        commit=False)
+                gm = getattr(self, "_grad_norm_meter", None)
+                if gm is not None and gm.count:
+                    import optax
+                    param_norm = float(jax.device_get(
+                        optax.global_norm(train_state["params"])))
+                    self.wandb_run.log(
+                        {"epoch": epoch, "train/grad_norm": gm.avg,
+                         "train/param_norm": param_norm}, commit=False)
             save_checkpoint(self.config, "model_last_epoch",
                             dict(train_state, epoch=epoch))
             if epoch % self.config.checkpoint_frequency == 0:

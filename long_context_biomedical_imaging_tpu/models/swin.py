@@ -23,22 +23,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import block_diag as jsp_block_diag
 
-
-def _window_group(batch_windows: int, window_volume: int,
-                  n_windows: int | None) -> int:
-    """Largest power-of-2 group count G with G*V <= 256 that divides the window
-    batch (and the per-image window count when a shift mask is present)."""
-    target = max(1, 256 // window_volume)
-    g = 1
-    while (g * 2 <= target and batch_windows % (g * 2) == 0
-           and (n_windows is None or n_windows % (g * 2) == 0)):
-        g *= 2
-    return g
-
-from ..ops import (attention_reference, compute_shift_mask, get_window_size,
-                   relative_position_index, window_partition, window_reverse)
+from ..ops import (compute_shift_regions, get_window_size,
+                   relative_position_index, window_partition, window_reverse,
+                   windowed_attention_qkv)
 from .hyena import HyenaOperator
 from .layers import MLPBlock, PatchEmbed, TorchDense, parameterless_layer_norm, trunc_normal_init
 from .mamba import MambaVisionMixer
@@ -77,55 +65,24 @@ class WindowAttention(nn.Module):
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads))
         index = relative_position_index(tuple(self.window_size))  # (V, V) static
 
-        # MXU-sizing: window volumes are tiny (16-512); per-window matmuls of
-        # size VxV waste the 128x128 systolic array. Group G consecutive
-        # windows into one sequence of G*V tokens and attend with a
-        # block-diagonal bias — G*x the score FLOPs, ~full MXU tiles.
-        group = _window_group(b, n, mask.shape[0] if mask is not None else None)
-
         rel = table[index.reshape(-1)].reshape(n, n, self.num_heads)
         rel = rel.transpose(2, 0, 1)                      # (H, V, V)
 
-        if group > 1:
-            gn = group * n
-            xg = x.reshape(b // group, gn, c)
-            qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(xg)
-            qkv = qkv.reshape(b // group, gn, 3, self.num_heads, head_dim)
-            qkv = qkv.transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
-            blockmask = jnp.kron(jnp.eye(group, dtype=jnp.int8),
-                                 jnp.ones((n, n), dtype=jnp.int8)).astype(bool)
-            base = jnp.where(blockmask[None],
-                             jnp.kron(jnp.eye(group, dtype=rel.dtype), rel),
-                             -1e9)                         # (H, GV, GV)
-            if mask is not None:
-                nw = mask.shape[0]
-                mask_bd = jax.vmap(lambda blocks: jsp_block_diag(*blocks))(
-                    mask.reshape(nw // group, group, n, n))  # (nWg, GV, GV)
-                mask_bd = mask_bd.astype(rel.dtype)  # keep bias in compute dtype
-                bias = base[None, None] + mask_bd[None, :, None]  # (1,nWg,H,GV,GV)
-                bsz = b // nw
-                q = q.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
-                k = k.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
-                v = v.reshape(bsz, nw // group, self.num_heads, gn, head_dim)
-                out = attention_reference(q, k, v, bias=bias)
-                out = out.reshape(b // group, self.num_heads, gn, head_dim)
-            else:
-                out = attention_reference(q, k, v, bias=base[None])
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)  # kernel layout
+        if mask is not None:
+            # mask carries per-token pre-shift region ids (nW, V);
+            # window_partition flattens batch as (B, nW) windows-fastest
+            # (ref: backbone_swin.py:349-352)
+            rid = jnp.tile(mask, (b // mask.shape[0], 1))
         else:
-            qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
-            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
-            bias = rel[None]                               # (1, H, V, V)
-            if mask is not None:
-                # window_partition flattens batch as (B, nW) windows-fastest
-                # (ref: backbone_swin.py:349-352)
-                nw = mask.shape[0]
-                bias = bias + jnp.tile(mask.astype(rel.dtype)[:, None],
-                                       (b // nw, 1, 1, 1))
-            out = attention_reference(q, k, v, bias=bias)
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            rid = None
+        # Fused Pallas windowed attention: groups windows into MXU-sized
+        # sequences, block-diag rel bias + in-kernel region mask; no HBM
+        # score/bias materialization and no layout transposes — the kernel
+        # reads the Dense output directly (ops/window_attention.py).
+        out = windowed_attention_qkv(qkv, rel, rid=rid)
+        out = out.reshape(b, n, c)
         out = TorchDense(self.dim)(out)
         return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 
@@ -241,7 +198,9 @@ class BasicLayer(nn.Module):
                                                   base_shift)
         pad_dims = tuple(-(-dim_ // ws) * ws for dim_, ws in
                          zip((d, h, w), window_size))
-        attn_mask = (compute_shift_mask(pad_dims, window_size, shift_size)
+        # Factored shift mask: per-token region ids (nW, V); the fused kernel
+        # rebuilds the additive -100 mask in VMEM (ops/window_attention.py).
+        attn_mask = (compute_shift_regions(pad_dims, window_size, shift_size)
                      if any(s > 0 for s in shift_size) else None)
 
         block_cls = SwinTransformerBlock

@@ -5,8 +5,10 @@ from .flash_attention import flash_attention
 from .selective_scan import (selective_scan, selective_scan_auto,
                              selective_scan_chunked, selective_scan_cm,
                              selective_scan_reference, selective_scan_seq)
-from .window import (compute_shift_mask, get_window_size, pad_to_window_multiple,
-                     relative_position_index, window_partition, window_reverse)
+from .window import (compute_shift_mask, compute_shift_regions, get_window_size,
+                     pad_to_window_multiple, relative_position_index,
+                     window_partition, window_reverse)
+from .window_attention import windowed_attention, windowed_attention_qkv
 
 __all__ = [
     "attention_reference", "multi_head_attention", "flash_attention",
@@ -16,4 +18,5 @@ __all__ = [
     "selective_scan_chunked", "selective_scan_reference", "window_partition",
     "window_reverse", "compute_shift_mask", "get_window_size",
     "relative_position_index", "pad_to_window_multiple",
+    "compute_shift_regions", "windowed_attention", "windowed_attention_qkv",
 ]

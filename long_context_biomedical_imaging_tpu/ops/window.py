@@ -54,17 +54,17 @@ def window_reverse(windows, window_size, dims):
     return x.reshape(b, d, h, w, -1)
 
 
-def compute_shift_mask(dims, window_size, shift_size, mask_value=-100.0):
-    """Additive attention mask for shifted windows (ref: backbone_swin.py:591-628).
+def _shift_regions_np(dims, window_size, shift_size) -> np.ndarray:
+    """Pre-shift region id per (window, token): (nW, win_vol) int32.
 
-    Returns (nW, win_vol, win_vol) float32 with ``mask_value`` at positions
-    where query and key come from different pre-shift regions, 0 elsewhere.
-    Computed in numpy so it constant-folds at trace time.
+    Two tokens of a window may attend iff their region ids match — the Swin
+    shift mask in factored form (ref: backbone_swin.py:591-628). Computed in
+    numpy so it constant-folds at trace time.
     """
     d, h, w = dims
     wd, wh, ww = window_size
     sd, sh, sw = shift_size
-    img = np.zeros((1, d, h, w, 1), dtype=np.float32)
+    img = np.zeros((1, d, h, w, 1), dtype=np.int32)
     cnt = 0
     for ds in (slice(-wd), slice(-wd, -sd) if sd else slice(-wd, None), slice(-sd, None) if sd else None):
         if ds is None:
@@ -80,6 +80,21 @@ def compute_shift_mask(dims, window_size, shift_size, mask_value=-100.0):
     # Partition into windows, flatten to (nW, win_vol).
     win = img.reshape(1, d // wd, wd, h // wh, wh, w // ww, ww, 1)
     win = win.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww)
+    return win
+
+
+def compute_shift_regions(dims, window_size, shift_size):
+    """(nW, win_vol) int32 region ids for the fused windowed-attention kernel."""
+    return jnp.asarray(_shift_regions_np(dims, window_size, shift_size))
+
+
+def compute_shift_mask(dims, window_size, shift_size, mask_value=-100.0):
+    """Additive attention mask for shifted windows (ref: backbone_swin.py:591-628).
+
+    Returns (nW, win_vol, win_vol) float32 with ``mask_value`` at positions
+    where query and key come from different pre-shift regions, 0 elsewhere.
+    """
+    win = _shift_regions_np(dims, window_size, shift_size)
     diff = win[:, None, :] - win[:, :, None]
     mask = np.where(diff != 0, mask_value, 0.0).astype(np.float32)
     return jnp.asarray(mask)

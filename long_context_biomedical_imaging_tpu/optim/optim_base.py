@@ -20,10 +20,17 @@ import math
 import optax
 
 
-def compute_total_updates(config, num_train_samples: int) -> int:
-    """ceil(N / (B * accum * world)) * epochs (ref: optim_utils.py:10-21)."""
+def compute_total_updates(config, num_train_samples: int,
+                          world: int | None = None) -> int:
+    """ceil(N / (B * accum * world)) * epochs (ref: optim_utils.py:10-21).
+
+    `world` is the data-parallel degree. The reference's batch_size is
+    PER-RANK (8-GPU DDP trains global batches of 8*B, optim_utils.py:14-19);
+    here batch_size is per-device on the mesh 'data' axis, so world defaults
+    to the device count (= data axis size for the default mesh)."""
     import jax
-    world = jax.process_count()
+    if world is None:
+        world = jax.device_count()
     per_step = config.batch_size * config.iters_to_accumulate * world
     return max(1, math.ceil(num_train_samples / per_step)) * config.num_epochs
 
@@ -50,10 +57,12 @@ def _torch_onecycle_lr(step: int, max_lr: float, total_steps: int,
 class OptimManager:
     """Builds the optax transform and computes the host-side lr schedule."""
 
-    def __init__(self, config, num_train_samples: int):
+    def __init__(self, config, num_train_samples: int,
+                 world: int | None = None):
         self.config = config
         self.base_lr = config.optim.lr
-        self.total_updates = compute_total_updates(config, num_train_samples)
+        self.total_updates = compute_total_updates(config, num_train_samples,
+                                                   world)
         self.curr_epoch = 0
 
         wd = config.optim.weight_decay
@@ -71,10 +80,12 @@ class OptimManager:
                 optax.scale_by_adam(b1=config.optim.beta1, b2=config.optim.beta2),
                 optax.add_decayed_weights(wd))              # decoupled decay
         elif otype == "sgd":
+            # ref optim_base.py:91 — torch SGD(momentum=0.9): wd folds into
+            # the gradient first, then heavy-ball momentum (no dampening).
             parts = []
             if wd > 0:
                 parts.append(optax.add_decayed_weights(wd))
-            parts.append(optax.identity())
+            parts.append(optax.trace(decay=0.9))
             self.transform = optax.chain(*parts)
         elif otype == "lbfgs":
             # torch LBFGS with line_search_fn=None and max_iter=1 per batch:
@@ -123,8 +134,10 @@ class OptimManager:
         # torch ReduceLROnPlateau order: improvement check, then cooldown
         # zeroes the bad-epoch count *after* the increment, then the reduction
         # test — so no reductions fire while cooling down.
+        # torch's default improvement test is relative: a < best * (1 - 1e-4)
+        # (threshold=1e-4, threshold_mode='rel', mode='min').
         s = self.config.scheduler
-        if val_loss < self._plateau_best:
+        if val_loss < self._plateau_best * (1.0 - 1e-4):
             self._plateau_best = val_loss
             self._plateau_bad_epochs = 0
         else:

@@ -41,11 +41,26 @@ def create_train_state(model, variables, transform) -> TrainState:
 
 
 def make_train_step(model, loss_func: Callable, transform,
-                    use_amp: bool = False, accum: int = 1):
-    """Returns train_step(state, images, labels, lr, rng) -> (state, loss, output).
+                    use_amp: bool = False, accum: int = 1,
+                    metrics_fn: Callable | None = None,
+                    return_output: bool = True,
+                    grad_div: int | None = None):
+    """Returns train_step(state, images, labels, lr, rng[, n_valid])
+    -> (state, stats, output).
 
     images/labels: (accum, B, ...) when accum > 1 else (B, ...).
+    stats is the scalar loss, or — when `metrics_fn` is given — the vector
+    [loss, *train_metrics] computed on device (ref computes train metrics
+    on-GPU via torchmetrics, metrics_base.py:150-183; fetching full outputs
+    to the host every step is the expensive alternative).
+    `return_output=False` skips materializing the model output as a step
+    result (it is only needed host-side when metrics are computed there).
+    `grad_div` overrides the gradient divisor (default `accum`): the epoch-end
+    flush of a partial accumulation group divides by the FULL
+    iters_to_accumulate like the reference (each micro-loss is pre-scaled by
+    1/iters_to_accumulate before backward; trainer_base.py:169-179).
     """
+    grad_div = accum if grad_div is None else grad_div
     has_bn = True  # mutable batch_stats collection may be empty; flax tolerates it
 
     def forward(params, batch_stats, images, labels, rng):
@@ -65,7 +80,7 @@ def make_train_step(model, loss_func: Callable, transform,
         loss = loss_func(out32, labels)
         return loss, (out32, mutated.get("batch_stats", batch_stats))
 
-    def train_step(state: TrainState, images, labels, lr, rng):
+    def train_step(state: TrainState, images, labels, lr, rng, n_valid=None):
         grad_fn = jax.value_and_grad(forward, has_aux=True)
 
         if accum > 1:
@@ -80,12 +95,16 @@ def make_train_step(model, loss_func: Callable, transform,
             zero = jax.tree.map(jnp.zeros_like, state.params)
             (grads, new_bs, loss_sum, _), outs = jax.lax.scan(
                 micro, (zero, state.batch_stats, 0.0, rng), (images, labels))
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            grads = jax.tree.map(lambda g: g / grad_div, grads)
             loss = loss_sum / accum
             output = outs.reshape((-1,) + outs.shape[2:])
+            labels_flat = labels.reshape((-1,) + labels.shape[2:])
         else:
             (loss, (output, new_bs)), grads = grad_fn(
                 state.params, state.batch_stats, images, labels, rng)
+            if grad_div != 1:
+                grads = jax.tree.map(lambda g: g / grad_div, grads)
+            labels_flat = labels
 
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, new_opt = transform.update(grads, state.opt_state, state.params)
@@ -93,13 +112,32 @@ def make_train_step(model, loss_func: Callable, transform,
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_bs,
                                   opt_state=new_opt, step=state.step + 1)
-        return new_state, loss, output
+
+        if metrics_fn is not None:
+            nv = output.shape[0] if n_valid is None else n_valid
+            # trailing element: global grad norm (wandb.watch-equivalent
+            # observability; ref trainer_base.py:108)
+            stats = jnp.concatenate([
+                jnp.reshape(loss, (1,)).astype(jnp.float32),
+                metrics_fn(output, labels_flat, nv).astype(jnp.float32),
+                jnp.reshape(optax.global_norm(grads), (1,)).astype(jnp.float32)])
+        else:
+            stats = loss
+        return new_state, stats, (output if return_output else None)
 
     return train_step
 
 
 def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
-    def eval_step(state: TrainState, images, labels):
+    """eval_step(state, images, labels[, n_valid]) -> (loss, output).
+
+    The loader pads ragged final batches to the static batch size; the loss is
+    averaged over per-sample losses weighted by validity so padding rows never
+    distort it (every loss in `losses/` reduces by per-sample means, so the
+    vmap decomposition is exact for full batches).
+    """
+
+    def eval_step(state: TrainState, images, labels, n_valid=None):
         p = state.params
         x = images  # fp32; backbone casts post-patchify
         if use_amp:
@@ -110,6 +148,11 @@ def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
         out = model.apply(variables, x, deterministic=True,
                           use_running_average=True)
         out32 = out.astype(jnp.float32)
-        return loss_func(out32, labels), out32
+        per_sample = jax.vmap(
+            lambda o, t: loss_func(o[None], t[None]))(out32, labels)
+        nv = out32.shape[0] if n_valid is None else n_valid
+        w = (jnp.arange(out32.shape[0]) < nv).astype(jnp.float32)
+        loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, out32
 
     return eval_step

@@ -90,7 +90,13 @@ class TrainManager:
     def _loader(self, split: str, shuffle: bool) -> BatchLoader:
         cfg = self.config
         workers = cfg.num_workers if cfg.num_workers > 0 else (os.cpu_count() or 4)
-        return BatchLoader(self.datasets[split], cfg.batch_size, shuffle=shuffle,
+        # batch_size is PER-DEVICE, matching the reference's per-rank batches
+        # under 8-GPU DDP (trainer_base.py:126-135): each process loads
+        # batch_size * its share of the 'data' axis; the global batch is
+        # batch_size * data_parallel and shards evenly by construction.
+        d_local = max(1, self.mesh.shape["data"] // jax.process_count())
+        return BatchLoader(self.datasets[split], cfg.batch_size * d_local,
+                           shuffle=shuffle,
                            seed=cfg.seed or 0, num_workers=min(workers, 16),
                            prefetch_batches=cfg.prefetch_factor)
 
@@ -102,6 +108,14 @@ class TrainManager:
             shard = NamedSharding(self.mesh, P(None, "data"))
         else:
             shard = self._batch_shard
+        if jax.process_count() > 1:
+            # Each process loads a disjoint pi::pc subject shard
+            # (data/loader.py) — its local batch is one block of the global
+            # batch axis, like the reference's DistributedSampler per-rank
+            # batches (trainer_base.py:126-135). device_put would wrongly
+            # treat the local block as the whole global array.
+            return (jax.make_array_from_process_local_data(shard, images),
+                    jax.make_array_from_process_local_data(shard, labels))
         return jax.device_put(images, shard), jax.device_put(labels, shard)
 
     # -- main ------------------------------------------------------------------
@@ -157,13 +171,27 @@ class TrainManager:
         self.metrics.on_training_end(self.rank, ran_training=ran_training)
         return state
 
+    def _make_train_step(self, accum: int, grad_div: int):
+        cfg = self.config
+        from ..metrics.device import make_train_metric_fn
+        self._train_metric_names, metrics_fn = make_train_metric_fn(cfg)
+        return jax.jit(make_train_step(self.model, self.loss_func,
+                                       self.optim.transform,
+                                       use_amp=cfg.use_amp, accum=accum,
+                                       metrics_fn=metrics_fn,
+                                       return_output=False,
+                                       grad_div=grad_div),
+                       donate_argnums=(0,))
+
     def _train_loop(self, state: TrainState) -> TrainState:
         cfg = self.config
         accum = max(1, cfg.iters_to_accumulate)
-        train_step = jax.jit(make_train_step(self.model, self.loss_func,
-                                             self.optim.transform,
-                                             use_amp=cfg.use_amp, accum=accum),
-                             donate_argnums=(0,))
+        train_step = self._make_train_step(accum, accum)
+        # Epoch-end flush of a partial accumulation group (ref flushes the
+        # optimizer at idx+1 == total_iters, trainer_base.py:172; grads keep
+        # the 1/iters_to_accumulate scaling of the full-group path). Compiled
+        # lazily per tail size — the tail size is fixed for a given dataset.
+        tail_steps: dict = {}
         loader = self._loader("train", shuffle=True)
         rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
         # host-side step counter — int(state.step) would force a device sync
@@ -174,49 +202,58 @@ class TrainManager:
         timer = StepTimer(enabled=bool(cfg.get("with_timer")),
                           trace_dir=os.path.join(cfg.log_dir_run, "profile"))
 
+        def dispatch(step_fn, state, micros, group_valid, epoch, stacked):
+            nonlocal rng, host_step
+            if stacked:
+                im = np.stack([m[0] for m in micros])
+                lb = np.stack([m[1] for m in micros])
+            else:
+                im, lb = micros[0][0], micros[0][1]
+            rng, sub = jax.random.split(rng)
+            lr = self.optim.current_lr(host_step, epoch)
+            im_d, lb_d = self._put(im, lb, accum=stacked)
+            timer.start_step()
+            state, stats, _ = step_fn(state, im_d, lb_d, lr, sub, group_valid)
+            host_step += 1
+            stats_host = np.asarray(jax.device_get(stats)).reshape(-1)
+            if not np.isfinite(stats_host[0]):
+                # fail fast like the reference's in-loss NaN guards
+                # (ref: enhancement_losses.py:55-56,225-226)
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {host_step}")
+            self.metrics.on_train_step_end_device(
+                stats_host, self._train_metric_names, n=group_valid,
+                rank=self.rank, curr_lr=lr)
+            timer.end_step()
+            return state
+
         for epoch in range(self.optim.curr_epoch, cfg.num_epochs):
             loader.set_epoch(epoch)
             self.metrics.on_train_epoch_start()
             t0 = time.perf_counter()
-            images_buf, labels_buf, n_seen = [], [], 0
+            micros, group_valid, n_seen = [], 0, 0
 
             for it, (images, labels, ids, n_valid) in enumerate(loader):
                 if cfg.debug and it >= 3 * accum:
                     break
-                images_buf.append(images)
-                labels_buf.append(labels)
+                micros.append((images, labels))
+                group_valid += n_valid
                 n_seen += n_valid
-                if len(images_buf) < accum:
+                if len(micros) < accum:
                     continue
+                state = dispatch(train_step, state, micros, group_valid,
+                                 epoch, stacked=accum > 1)
+                micros, group_valid = [], 0
 
-                if accum > 1:
-                    im = np.stack(images_buf)
-                    lb = np.stack(labels_buf)
-                else:
-                    im, lb = images_buf[0], labels_buf[0]
-                images_buf, labels_buf = [], []
-
-                rng, sub = jax.random.split(rng)
-                lr = self.optim.current_lr(host_step, epoch)
-                im_d, lb_d = self._put(im, lb, accum=accum > 1)
-                timer.start_step()
-                state, loss, output = train_step(state, im_d, lb_d, lr, sub)
-                host_step += 1
-                if accum > 1:
-                    labels_m = lb.reshape((-1,) + lb.shape[2:])
-                    n_keep = labels_m.shape[0]
-                else:
-                    labels_m, n_keep = labels, n_valid
-                loss_host = float(jax.device_get(loss))
-                if not np.isfinite(loss_host):
-                    # fail fast like the reference's in-loss NaN guards
-                    # (ref: enhancement_losses.py:55-56,225-226)
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} step {host_step}")
-                self.metrics.on_train_step_end(
-                    loss_host, jax.device_get(output)[:n_keep],
-                    labels_m[:n_keep], rank=self.rank, curr_lr=lr)
-                timer.end_step()
+            if micros:
+                # partial tail group: one more optimizer step, grads still
+                # divided by the full iters_to_accumulate (ref semantics)
+                k = len(micros)
+                if k not in tail_steps:
+                    tail_steps[k] = self._make_train_step(k, accum)
+                state = dispatch(tail_steps[k], state, micros, group_valid,
+                                 epoch, stacked=k > 1)
+                micros, group_valid = [], 0
 
             dt = time.perf_counter() - t0
             if timer.enabled:
@@ -230,9 +267,16 @@ class TrainManager:
 
             if epoch % cfg.eval_frequency == 0:
                 val_avg = self._eval_model(state, "val", epoch, final_eval=False)
-                self.optim.plateau_step(val_avg["loss"])
+                self._last_val_loss = val_avg["loss"]
                 self.file_logger.info("epoch %d val: %s", epoch,
                                       {k: round(v, 5) for k, v in val_avg.items()})
+            # The reference steps ReduceLROnPlateau EVERY epoch, falling back
+            # to the last available loss when no fresh eval ran
+            # (trainer_base.py:211-217: stale average_eval_metrics, then the
+            # step train loss).
+            last_val = getattr(self, "_last_val_loss", None)
+            self.optim.plateau_step(
+                last_val if last_val is not None else avg.get("loss", float("inf")))
         return state
 
     def _eval_model(self, state: TrainState, split: str, epoch: int,
@@ -249,7 +293,7 @@ class TrainManager:
             if cfg.debug and it >= 3:
                 break
             im_d, lb_d = self._put(images, labels)
-            loss, output = eval_step(state, im_d, lb_d)
+            loss, output = eval_step(state, im_d, lb_d, n_valid)
             self.metrics.on_eval_step_end(
                 jax.device_get(loss), jax.device_get(output)[:n_valid],
                 labels[:n_valid], ids[:n_valid], rank=self.rank,

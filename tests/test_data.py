@@ -151,3 +151,30 @@ def test_loader_early_exit_does_not_leak(tmp_path):
     import time as _t
     _t.sleep(0.5)
     assert threading.active_count() <= before + 2
+
+
+def test_loader_slow_consumer_gets_sentinel(tmp_path):
+    """End-of-epoch sentinel must arrive even when the prefetch queue is full
+    at producer exit (a slow consumer must not hang forever)."""
+    import time
+
+    _make_class_dataset(tmp_path, n=12)
+    cfg = Config()
+    cfg.data_dir = str(tmp_path)
+    cfg.split_csv_path = None
+    cfg.task_type = "class"
+    cfg.height = cfg.width = 8
+    cfg.time = 1
+    cfg.no_in_channel = 1
+    cfg.no_out_channel = 2
+    cfg.percent_data = 1.0
+    cfg.seed = 0
+    cfg.affine_aug = cfg.brightness_aug = cfg.gaussian_blur_aug = False
+    ds = NumpyDataset(cfg, "train")
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, seed=0,
+                         prefetch_batches=1, num_workers=2)
+    seen = 0
+    for batch in loader:          # slower than the producer fills the queue
+        time.sleep(0.05)
+        seen += 1
+    assert seen == len(loader)    # iteration terminated; all batches seen

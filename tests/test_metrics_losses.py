@@ -103,3 +103,86 @@ def test_gaussian_deriv_loss_zero_on_identical(rng):
     assert float(gaussian_deriv3d_loss(jnp.asarray(o), jnp.asarray(o))) == 0.0
     t = rng.normal(size=(1, 4, 16, 16, 1)).astype(np.float32)
     assert float(gaussian_deriv3d_loss(jnp.asarray(o), jnp.asarray(t))) > 0.0
+
+
+# --------------------------------------------------------------------------- #
+# Device (jit) train metrics must match the host functionals
+# --------------------------------------------------------------------------- #
+
+def test_device_auroc_matches_host(rng):
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.metrics.device import auroc_device
+
+    # binary, with padded rows masked out
+    logits = rng.normal(size=(16, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 16)
+    n_valid = 13
+    valid = (np.arange(16) < n_valid).astype(np.float32)
+    got = float(auroc_device(jnp.asarray(logits), jnp.asarray(labels),
+                             jnp.asarray(valid), binary=True))
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    probs = e / e.sum(1, keepdims=True)
+    want = auroc(probs[:n_valid, -1], labels[:n_valid], binary=True)
+    assert abs(got - want) < 1e-6
+
+    # multiclass macro OVR
+    logits = rng.normal(size=(16, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 16)
+    got = float(auroc_device(jnp.asarray(logits), jnp.asarray(labels),
+                             jnp.asarray(valid), binary=False))
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    probs = e / e.sum(1, keepdims=True)
+    want = auroc(probs[:n_valid], labels[:n_valid], binary=False)
+    assert abs(got - want) < 1e-6
+
+
+def test_device_f1_samplewise_matches_host(rng):
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.metrics.device import \
+        f1_samplewise_device
+
+    for nc, binary in ((2, True), (5, False)):
+        out = rng.normal(size=(6, 1, 8, 8, nc)).astype(np.float32)
+        lab = rng.integers(0, nc, (6, 1, 8, 8))
+        n_valid = 5
+        valid = (np.arange(6) < n_valid).astype(np.float32)
+        got = float(f1_samplewise_device(
+            jnp.asarray(out), jnp.asarray(lab), jnp.asarray(valid),
+            binary=binary, num_classes=nc))
+        hard = out.argmax(-1).reshape(6, -1)[:n_valid]
+        want = f1_score(hard, lab.reshape(6, -1)[:n_valid], binary=binary,
+                        num_classes=nc, samplewise=True)
+        assert abs(got - want) < 1e-6, (nc, binary)
+
+
+def test_device_psnr_ssim_match_host(rng):
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.metrics.device import (
+        psnr_device, ssim_device)
+
+    # 2D enhance layout: model output (B, 1, H, W, C); host metric layout
+    # (B, C, H, W) after the manager's postprocess
+    out = rng.normal(size=(4, 1, 24, 24, 2)).astype(np.float32)
+    lab = rng.normal(size=(4, 1, 24, 24, 2)).astype(np.float32)
+    n_valid = 3
+    valid = (np.arange(4) < n_valid).astype(np.float32)
+    got_p = float(psnr_device(jnp.asarray(out), jnp.asarray(lab),
+                              jnp.asarray(valid)))
+    got_s = float(ssim_device(jnp.asarray(out), jnp.asarray(lab),
+                              jnp.asarray(valid)))
+    host_out = np.moveaxis(out, -1, 1)[:, :, 0][:n_valid]
+    host_lab = np.moveaxis(lab, -1, 1)[:, :, 0][:n_valid]
+    assert abs(got_p - psnr(host_out, host_lab)) < 1e-3
+    assert abs(got_s - ssim(host_out, host_lab)) < 1e-3
+
+    # 3D: (B, T, H, W, C) vs host (B, C, T, H, W)
+    out = rng.normal(size=(2, 12, 16, 16, 1)).astype(np.float32)
+    lab = rng.normal(size=(2, 12, 16, 16, 1)).astype(np.float32)
+    valid = np.ones(2, np.float32)
+    got_s = float(ssim_device(jnp.asarray(out), jnp.asarray(lab),
+                              jnp.asarray(valid)))
+    want_s = ssim(np.moveaxis(out, -1, 1), np.moveaxis(lab, -1, 1))
+    assert abs(got_s - want_s) < 1e-3

@@ -13,7 +13,7 @@ def make_optim(**over):
     for k, v in over.items():
         argv.append(f"--{k}={v}")
     cfg = parse_config(argv=argv)
-    return cfg, OptimManager(cfg, num_train_samples=100)
+    return cfg, OptimManager(cfg, num_train_samples=100, world=1)
 
 
 def test_onecycle_matches_torch():
@@ -69,7 +69,9 @@ def test_all_optimizers_construct():
 def test_total_updates_with_accumulation():
     cfg = parse_config(argv=["--batch_size=8", "--iters_to_accumulate=2",
                              "--num_epochs=3"])
-    assert compute_total_updates(cfg, 100) == int(np.ceil(100 / 16)) * 3
+    assert compute_total_updates(cfg, 100, world=1) == int(np.ceil(100 / 16)) * 3
+    # per-device batches: an 8-way data-parallel mesh consumes 8x per update
+    assert compute_total_updates(cfg, 100, world=8) == int(np.ceil(100 / 128)) * 3
 
 
 def test_plateau_cooldown_blocks_reductions():
@@ -86,3 +88,41 @@ def test_plateau_cooldown_blocks_reductions():
     assert om.current_lr(0, 0) == pytest.approx(base * f)
     om.plateau_step(1.5)   # cooldown over: reduce again
     assert om.current_lr(0, 0) == pytest.approx(base * f * f)
+
+
+def test_sgd_matches_torch_momentum():
+    """ref optim_base.py:91: torch SGD(momentum=0.9). Our optax chain must
+    reproduce torch's heavy-ball update (incl. wd folded into the grad)."""
+    import jax.numpy as jnp
+    import torch
+
+    cfg, om = make_optim(optim_type="sgd")
+    cfg.optim.weight_decay = 0.01
+    cfg.clip_grad_norm = 0.0
+    _, om = cfg, OptimManager(cfg, num_train_samples=100, world=1)
+    lr = cfg.optim.lr
+
+    w0 = 0.7
+    p = torch.nn.Parameter(torch.tensor([w0]))
+    opt = torch.optim.SGD([p], lr=lr, momentum=0.9, weight_decay=0.01)
+    params = {"w": jnp.array([w0])}
+    opt_state = om.transform.init(params)
+    grads_seq = [0.3, -0.1, 0.25]
+    for g in grads_seq:
+        p.grad = torch.tensor([g])
+        opt.step()
+        updates, opt_state = om.transform.update(
+            {"w": jnp.array([g])}, opt_state, params)
+        params = {"w": params["w"] - lr * updates["w"]}
+    assert float(params["w"][0]) == pytest.approx(float(p.detach()[0]), abs=1e-7)
+
+
+def test_plateau_relative_threshold():
+    """torch default threshold=1e-4 (rel): a tiny improvement below the
+    threshold still counts as a bad epoch."""
+    cfg, om = make_optim(scheduler_type="ReduceLROnPlateau")
+    base = cfg.optim.lr
+    om.plateau_step(1.0)                 # establishes best
+    om.plateau_step(1.0 - 1e-6)          # within threshold -> bad epoch
+    # patience=0 -> the sub-threshold "improvement" triggers a reduction
+    assert om.current_lr(0, 0) == pytest.approx(base * cfg.scheduler.factor)

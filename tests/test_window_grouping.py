@@ -1,5 +1,6 @@
-"""The grouped block-diagonal window attention must be numerically identical
-to per-window attention (same params), including shifted blocks."""
+"""The fused (grouped, block-diagonal, region-masked) windowed-attention
+kernel must be numerically identical to plain per-window XLA attention with a
+materialized bias, through the full Swin backbone (shifted blocks included)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,32 +8,64 @@ import numpy as np
 
 import long_context_biomedical_imaging_tpu.models.swin as swin_mod
 from long_context_biomedical_imaging_tpu.models.swin import SwinBackbone
+from long_context_biomedical_imaging_tpu.ops.window_attention import _xla_fallback_qkv
 
 
-def _forward(x, patch=False):
+def test_fused_equals_xla_reference(rng):
+    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32, 1)).astype(np.float32))
+
     model = SwinBackbone(patch_size=(2, 2), window_size=(4, 4), in_channels=1,
                          embed_dim=12, depths=(2, 2), num_heads=(2, 2))
     variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
-    return model.apply(variables, x, deterministic=True), variables
+    out_fused = model.apply(variables, x, deterministic=True)
 
-
-def test_grouped_equals_ungrouped(rng):
-    x = jnp.asarray(rng.normal(size=(2, 1, 32, 32, 1)).astype(np.float32))
-
-    orig = swin_mod._window_group
+    orig = swin_mod.windowed_attention_qkv
     try:
-        # grouped (normal path; V=16 -> G=16 windows/group)
-        model = SwinBackbone(patch_size=(2, 2), window_size=(4, 4), in_channels=1,
-                             embed_dim=12, depths=(2, 2), num_heads=(2, 2))
-        variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
-        out_grouped = model.apply(variables, x, deterministic=True)
+        def plain(qkv, rel, rid=None, mask_value=-100.0, scale=None,
+                  group=None):
+            if scale is None:
+                scale = qkv.shape[-1] ** -0.5
+            return _xla_fallback_qkv(qkv, rel, rid, mask_value, scale)
 
-        swin_mod._window_group = lambda *a, **k: 1
+        swin_mod.windowed_attention_qkv = plain
         out_plain = model.apply(variables, x, deterministic=True)
     finally:
-        swin_mod._window_group = orig
+        swin_mod.windowed_attention_qkv = orig
 
-    assert swin_mod._window_group is orig
-    for g, p in zip(out_grouped, out_plain):
+    for g, p in zip(out_fused, out_plain):
         np.testing.assert_allclose(np.asarray(g), np.asarray(p),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gradients_match(rng):
+    """Gradients (incl. the relative-position table) through the fused kernel
+    match the XLA reference."""
+    x = jnp.asarray(rng.normal(size=(1, 1, 16, 16, 1)).astype(np.float32))
+    model = SwinBackbone(patch_size=(2, 2), window_size=(4, 4), in_channels=1,
+                         embed_dim=12, depths=(2,), num_heads=(2,))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+    def loss(params):
+        outs = model.apply({"params": params}, x, deterministic=True)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    g_fused = jax.grad(loss)(variables["params"])
+
+    orig = swin_mod.windowed_attention_qkv
+    try:
+        def plain(qkv, rel, rid=None, mask_value=-100.0, scale=None,
+                  group=None):
+            if scale is None:
+                scale = qkv.shape[-1] ** -0.5
+            return _xla_fallback_qkv(qkv, rel, rid, mask_value, scale)
+
+        swin_mod.windowed_attention_qkv = plain
+        g_plain = jax.grad(loss)(variables["params"])
+    finally:
+        swin_mod.windowed_attention_qkv = orig
+
+    flat_f = jax.tree.leaves(g_fused)
+    flat_p = jax.tree.leaves(g_plain)
+    for a, b in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
