@@ -1,13 +1,15 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric: train-step throughput (images/sec/chip, fwd+bwd+adam) on the
-flagship long-context workload: Swin-tiny patch-2 window-4 Hyena classification
-at 512x512 (65,536 stage-0 tokens/image — the ptx configuration geometry at
-half resolution, chosen to keep bench wall-clock bounded), bf16 AMP, batch 4.
+flagship long-context workload at its FULL reference geometry: the ptx
+configuration — Swin-tiny patch-2 window-4 Hyena classification at 1024x1024
+(262,144 stage-0 tokens/image; ref: projects/run_ptx.sh), bf16 AMP, batch 4.
+(Round 1 benched this at half resolution; round 2 onward reports the real
+thing — BASELINE.md carries the per-round history for both geometries.)
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 ratio reported is achieved model FLOPs / v5e peak (197 bf16 TFLOP/s) — i.e.
-MXU utilization. Rounds are comparable against each other via `value`.
+MXU utilization, comparable across rounds and geometries.
 
 Usage: python bench.py  (runs on the default backend — the real TPU chip).
 """
@@ -35,7 +37,7 @@ def main():
     from long_context_biomedical_imaging_tpu.trainer import (create_train_state,
                                                              make_train_step)
 
-    H = W = 512
+    H = W = 1024
     B = 4
     cfg = parse_config(argv=[
         "--encoder_name=Swin", "--decoder_name=SwinLinear", "--task_type=class",
@@ -91,7 +93,7 @@ def main():
         if flops_per_step == flops_per_step else 0.0
 
     print(json.dumps({
-        "metric": "swin_tiny_p2_w4_hyena_512x512_train_images_per_sec_chip",
+        "metric": "ptx_1024_swin_tiny_p2_w4_hyena_train_images_per_sec_chip",
         "value": round(images_per_sec_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(utilization, 4),

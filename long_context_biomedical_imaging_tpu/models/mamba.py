@@ -73,15 +73,18 @@ class MambaVisionMixer(nn.Module):
         # lanes — see selective_scan_cm for why the reference's (b, d, l)
         # layout is hostile to TPU at window-volume sequence lengths.
         xz = TorchDense(d_inner, use_bias=False)(hidden_states)  # (b, l, d_inner)
-        x, z = xz[..., :d_half], xz[..., d_half:]
 
-        # Two depthwise conv branches, no bias (ref quirk), SiLU.
+        # Two depthwise conv branches, no bias (ref quirk), SiLU. Run as ONE
+        # conv over the concatenated channels: at Swin stage-0 each half is
+        # d_model/2 = 48 channels — 48 of 128 VPU lanes (37.5%) split vs 96
+        # (75%) concatenated. Separate parameters, concatenated compute.
         wx = self.param("conv1d_x_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
         wz = self.param("conv1d_z_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
-        x = nn.silu(depthwise_conv1d_cm(x, wx, None, "same"))
-        z = nn.silu(depthwise_conv1d_cm(z, wz, None, "same"))
+        xz = nn.silu(depthwise_conv1d_cm(
+            xz, jnp.concatenate([wx, wz], axis=0), None, "same"))
+        x, z = xz[..., :d_half], xz[..., d_half:]
 
         # Input-dependent dt, B, C.
         x_dbl = TorchDense(dt_rank + 2 * self.d_state, use_bias=False)(x)

@@ -14,11 +14,19 @@ scratch across the k sweep of each q block.
 Backward follows the FlashAttention-2 recipe: save only (out, logsumexp),
 recompute p per block; a dq kernel sweeps k-blocks innermost and a dkv kernel
 sweeps q-blocks innermost.
+
+VPU economics (the kernels are exp-bound, not MXU-bound, at d=64): the
+softmax runs in base-2 — scale*log2(e) folds into the small q block once per
+cell, p = exp2(s2 - m2), and the saved logsumexp is base-2 — so the (bq, bk)
+score tile pays one transcendental and no separate scale multiply. The
+in-bounds column mask is skipped entirely when L divides block_k. lse/delta
+travel as 1-lane arrays ((BH, L, 1)) rather than 128-wide broadcasts.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _LANES = 128
+_LOG2E = math.log2(math.e)
 
 
 def _interpret() -> bool:
@@ -48,7 +57,7 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------- #
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, kv_len: int, block_k: int):
+                scale2: float, kv_len: int | None, block_k: int):
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -58,20 +67,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (bq, d)
-    k = k_ref[0]  # (bk, d)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    # base-2 softmax: fold scale*log2e into the small q tile (bq x d muls)
+    # instead of the bq x bk score tile.
+    q = q_ref[0].astype(jnp.float32) * scale2             # (bq, d)
+    k = k_ref[0]                                          # (bk, d)
+    s = jax.lax.dot_general(q.astype(k_ref.dtype), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
-    # Mask out keys beyond the true sequence length (padding block).
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if kv_len is not None:
+        # mask keys beyond the true sequence length (ragged final block only)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_scr[:, :1]                                   # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)               # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                          # (bq, 1)
-    p = jnp.exp(s - m_new)                                   # (bq, bk)
+    alpha = jnp.exp2(m_prev - m_new)                         # (bq, 1)
+    p = jnp.exp2(s - m_new)                                  # (bq, bk)
 
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -86,8 +98,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(l_safe)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        # base-2 logsumexp (consistent with the backward's exp2 recompute)
+        lse_ref[0] = m_scr[:, :1] + jnp.log2(l_safe)
 
 
 def _flash_fwd(q, k, v, scale, block_q, block_k):
@@ -105,7 +117,9 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
 
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k)
+    kernel = functools.partial(_fwd_kernel, scale2=scale * _LOG2E,
+                               kv_len=kv_len if k_pad else None,
+                               block_k=block_k)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, n_q, n_k),
@@ -116,11 +130,11 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_q * block_q, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_q * block_q, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -137,7 +151,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 # --------------------------------------------------------------------------- #
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
-               scale: float, kv_len: int, block_k: int):
+               scale2: float, kv_len: int | None, block_k: int):
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -145,27 +159,30 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, 
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    q = q_ref[0].astype(jnp.float32) * scale2
     k = k_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])                       # (bq, bk)
+    s = jax.lax.dot_general(q.astype(k_ref.dtype), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp2(s - lse_ref[0])                             # (bq, bk)
 
     dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, :1])                       # (bq, bk)
+    ds = p * (dp - delta_ref[0])                              # (bq, bk)
     dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+                                     preferred_element_type=jnp.float32)
 
     @pl.when(ik == n_k - 1)
     def _finish():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        # fold the softmax scale once into the (bq, d) result
+        dq_ref[0] = (dq_scr[:] * (scale2 / _LOG2E)).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                dk_scr, dv_scr, *, scale: float, kv_len: int, block_k: int):
+                dk_scr, dv_scr, *, scale2: float, kv_len: int | None,
+                block_k: int):
     iq = pl.program_id(2)
     n_q = pl.num_programs(2)
 
@@ -174,27 +191,30 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
+    q = q_ref[0].astype(jnp.float32) * scale2
     k = k_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    ik = pl.program_id(1)
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, :1])                        # (bq, bk)
+    s = jax.lax.dot_general(q.astype(k_ref.dtype), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        ik = pl.program_id(1)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp2(s - lse_ref[0])                              # (bq, bk)
 
     dv_scr[:] += jax.lax.dot_general(p.astype(do_ref.dtype), do_ref[0],
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, :1])
-    dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+    ds = p * (dp - delta_ref[0])
+    # contract against the UNSCALED q (q here carries scale2; divide at finish)
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q_ref.dtype), q_ref[0],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q - 1)
     def _finish():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_scr[:] * (scale2 / _LOG2E)).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -220,22 +240,24 @@ def _flash_bwd(scale, block_q, block_k, res, do):
 
     qp, dop = pad_q(q), pad_q(do)
     kp, vp = pad_k(k), pad_k(v)
-    # lse defaults to 0 in padded q rows -> p = exp(-1e30 - 0) = 0, harmless.
+    # lse defaults to 0 in padded q rows -> p = exp2(-1e30 - 0) = 0, harmless.
     lsep = jnp.pad(lse, ((0, 0), (0, q_pad)), constant_values=1.0) if q_pad else lse
     deltap = jnp.pad(delta, ((0, 0), (0, q_pad))) if q_pad else delta
-    lsep = jnp.broadcast_to(lsep[..., None], (bh, n_q * block_q, _LANES))
-    deltap = jnp.broadcast_to(deltap[..., None], (bh, n_q * block_q, _LANES))
+    lsep = lsep[..., None]                                    # (bh, nq*bq, 1)
+    deltap = deltap[..., None]
 
+    kwargs = dict(scale2=scale * _LOG2E,
+                  kv_len=kv_len if k_pad else None, block_k=block_k)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_dq_kernel, **kwargs),
         grid=(bh, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
@@ -244,15 +266,15 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     )(qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_dkv_kernel, **kwargs),
         grid=(bh, n_k, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
@@ -297,8 +319,7 @@ def flash_attention(q, k, v, scale: float | None = None,
     Args:
       q, k, v: (B, H, L, D) arrays (any float dtype; compute in fp32 on MXU).
       scale: softmax scale; defaults to D**-0.5.
-      block_q/block_k: tile sizes. Defaults tuned on v5e at 16k tokens, d=64:
-        (512, 2048) reaches ~66 bf16 TFLOP/s fwd+bwd vs ~29 at (256, 512);
+      block_q/block_k: tile sizes. Defaults tuned on v5e at 16k tokens, d=64;
         larger tiles crash the Mosaic compiler on this toolchain.
 
     Returns (B, H, L, D) attention output in q.dtype.

@@ -7,11 +7,19 @@ recurrence fits in VMEM per block and the discretized (N x D) state never
 touches HBM — the XLA formulations pay N x the HBM traffic.
 
 Layout is channel-minor: u, delta (BW, L, D); B, C (BW, L, N); the state is a
-(block, N*D) row tile with channels n-major on the 128 lanes. Per-step
-broadcasts/reductions between (bb, N) and (bb, N*D) are expressed as matmuls
+(block, N*Dc) row tile with channels n-major on the 128 lanes. Per-step
+broadcasts/reductions between (bb, N) and (bb, N*Dc) are expressed as matmuls
 with constant 0/1 block matrices (MXU ops, no gathers):
-  expand E (N, N*D):  X_rep = X @ E        X_rep[., n*D+d] = X[., n]
-  reduce F (N*D, N):  S     = Y @ F        S[., n] = sum_d Y[., n*D+d]
+  expand E (N, N*Dc):  X_rep = X @ E        X_rep[., n*Dc+d] = X[., n]
+  reduce F (N*Dc, N):  S     = Y @ F        S[., n] = sum_d Y[., n*Dc+d]
+
+Wide channel counts are CHUNKED over a second grid dimension: the recurrence
+is independent per channel d, so grid cell (i, j) scans rows-block i over
+channel chunk j (Dc channels, N*Dc lanes of state). B/C blocks are shared
+across chunks (constant index in j); in the backward, dB/dC accumulate across
+the j sweep inside their VMEM-resident output block. This removes the old
+N*D <= 1024 ceiling (the Mosaic compiler crashed on N*D >= 3072 single-block
+kernels), so all four Swin stages of the mamba workloads qualify.
 
 Backward runs two in-kernel passes: recompute the h history into VMEM
 scratch, then a reverse sweep producing du/ddelta/dB/dC plus per-grid dA
@@ -22,6 +30,7 @@ where their grads are trivial.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -29,16 +38,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LOG2E = math.log2(math.e)
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _pick_chunk(N: int, D: int) -> int:
+    """Channels per grid chunk: keep the state row at <= 1024 lanes (8 tiles).
+
+    Mosaic crashes on single-block kernels with N*D >= 3072, and narrower
+    state rows give bigger row-blocks (better MXU M dims) anyway. Chunks are
+    balanced (ceil(D / n_chunks)) so e.g. D=192 runs as 2x96, not 128+64pad."""
+    dc_max = max(1, 1024 // N)
+    n_j = -(-D // dc_max)
+    return -(-D // n_j)
+
+
 def _block_rows(L: int, nd: int) -> int:
-    """Rows per grid block: keep the h history under ~6MB of VMEM."""
-    # h history + double-buffered in/out blocks must fit the ~16MB scoped VMEM;
-    # stay well under it
-    budget = 2 * 1024 * 1024
+    """Rows per grid block: keep the bwd h history under ~6MB of VMEM
+    (in/out blocks are double-buffered on top; v5e has 128MB VMEM but the
+    default scoped budget is 16MB)."""
+    budget = 6 * 1024 * 1024
     per_row = (L * nd + 6 * nd) * 4
     rows = budget // max(per_row, 1)
     for cand in (512, 256, 128, 64, 32, 16, 8):
@@ -47,9 +69,9 @@ def _block_rows(L: int, nd: int) -> int:
     return 8
 
 
-def _expand_reduce(N: int, D: int):
-    e = np.kron(np.eye(N, dtype=np.float32), np.ones((1, D), np.float32))
-    return jnp.asarray(e), jnp.asarray(e.T)     # E (N, ND), F (ND, N)
+def _expand_reduce(N: int, Dc: int):
+    e = np.kron(np.eye(N, dtype=np.float32), np.ones((1, Dc), np.float32))
+    return jnp.asarray(e), jnp.asarray(e.T)     # E (N, N*Dc), F (N*Dc, N)
 
 
 def _dot(a, b):
@@ -65,19 +87,19 @@ def _dot(a, b):
 # Forward
 # --------------------------------------------------------------------------- #
 
-# NOTE on the y reduction: sum over n of h[., n*D+d] * C[., n] keeps the d
-# axis, which the (ND, N) reducer cannot produce; we need a (ND, D) reducer.
-def _reduce_over_n(N: int, D: int):
-    f = np.kron(np.ones((N, 1), np.float32), np.eye(D, dtype=np.float32))
-    return jnp.asarray(f)                                   # (ND, D)
+# NOTE on the y reduction: sum over n of h[., n*Dc+d] * C[., n] keeps the d
+# axis, which the (N*Dc, N) reducer cannot produce; we need a (N*Dc, Dc) reducer.
+def _reduce_over_n(N: int, Dc: int):
+    f = np.kron(np.ones((N, 1), np.float32), np.eye(Dc, dtype=np.float32))
+    return jnp.asarray(f)                                   # (N*Dc, Dc)
 
 
-def _make_fwd_kernel(L, N, D, softplus):
+def _make_fwd_kernel(L, N, Dc, softplus):
     def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, y_ref, h_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
-        a_flat = at_ref[0]
-        E = e_ref[:]                                        # (N, ND)
-        Fn = fn_ref[:]                                      # (ND, D)
+        a2_flat = at_ref[0] * _LOG2E          # base-2 decay exponent (1 row op)
+        E = e_ref[:]                                        # (N, N*Dc)
+        Fn = fn_ref[:]                                      # (N*Dc, Dc)
 
         def body(t, _):
             u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
@@ -89,10 +111,10 @@ def _make_fwd_kernel(L, N, D, softplus):
             bu_rep = pltpu.repeat(bu, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp(d_rep * a_flat[None, :])
+            a_t = jnp.exp2(d_rep * a2_flat[None, :])
             h = a_t * h_scr[:] + bu_rep * _dot(B_t, E)
             h_scr[:] = h
-            y = _dot(h * _dot(C_t, E), Fn)                  # (bb, D)
+            y = _dot(h * _dot(C_t, E), Fn)                  # (bb, Dc)
             y_ref[:, pl.ds(t, 1), :] = y.astype(y_ref.dtype)[:, None, :]
             return 0
 
@@ -101,10 +123,21 @@ def _make_fwd_kernel(L, N, D, softplus):
     return kernel
 
 
+def _chunk_at(AT, Dc: int):
+    """(N, D) -> (n_j, N*Dc) with zero-padded channels, chunk-j n-major rows."""
+    N, D = AT.shape
+    n_j = -(-D // Dc)
+    pad = n_j * Dc - D
+    a = jnp.pad(AT.astype(jnp.float32), ((0, 0), (0, pad)))
+    return a.reshape(N, n_j, Dc).transpose(1, 0, 2).reshape(n_j, N * Dc), n_j, pad
+
+
 def _fwd(u, delta, AT, B, C, softplus: bool):
     BW, L, D = u.shape
     N = AT.shape[0]
-    nd = N * D
+    Dc = _pick_chunk(N, D)
+    at_chunks, n_j, d_pad = _chunk_at(AT, Dc)
+    nd = N * Dc
     bb = _block_rows(L, nd)
     pad = (-BW) % bb
     if pad:
@@ -112,42 +145,53 @@ def _fwd(u, delta, AT, B, C, softplus: bool):
         delta = jnp.pad(delta, ((0, pad), (0, 0), (0, 0)))
         B = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
         C = jnp.pad(C, ((0, pad), (0, 0), (0, 0)))
-    grid = ((BW + pad) // bb,)
-    at_flat = AT.astype(jnp.float32).reshape(1, nd)
-    E, _ = _expand_reduce(N, D)
-    Fn = _reduce_over_n(N, D)
+    if d_pad:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, d_pad)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, d_pad)))
+    grid = ((BW + pad) // bb, n_j)
+    E, _ = _expand_reduce(N, Dc)
+    Fn = _reduce_over_n(N, Dc)
 
     y = pl.pallas_call(
-        _make_fwd_kernel(L, N, D, softplus),
+        _make_fwd_kernel(L, N, Dc, softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, nd), lambda i: (0, 0)),
-            pl.BlockSpec((N, nd), lambda i: (0, 0)),
-            pl.BlockSpec((nd, D), lambda i: (0, 0)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nd), lambda i, j: (j, 0)),
+            pl.BlockSpec((N, nd), lambda i, j: (0, 0)),
+            pl.BlockSpec((nd, Dc), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BW + pad, L, D), jnp.float32),
+        out_specs=pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bb, nd), jnp.float32)],
         interpret=_interpret(),
-    )(u, delta, B, C, at_flat, E, Fn)
-    return y[:BW]
+    )(u, delta, B, C, at_chunks, E, Fn)
+    return y[:BW, :, :D]
 
 
 # --------------------------------------------------------------------------- #
 # Backward
 # --------------------------------------------------------------------------- #
 
-def _make_bwd_kernel(L, N, D, softplus):
+def _make_bwd_kernel(L, N, Dc, softplus):
     def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, fr_ref, g_ref,
                du_ref, dd_ref, dB_ref, dC_ref, dA_ref, hist_scr, dh_scr, dA_scr):
+        j = pl.program_id(1)
         a_flat = at_ref[0]
-        E = e_ref[:]                                        # (N, ND)
-        Fn = fn_ref[:]                                      # (ND, D) sum over n
-        Fr = fr_ref[:]                                      # (ND, N) sum over d
+        a2_flat = a_flat * _LOG2E
+        E = e_ref[:]                                        # (N, N*Dc)
+        Fn = fn_ref[:]                                      # (N*Dc, Dc) sum over n
+        Fr = fr_ref[:]                                      # (N*Dc, N) sum over d
+
+        # dB/dC blocks are shared across the channel-chunk sweep (index map
+        # constant in j): zero once per rows-block, accumulate below.
+        @pl.when(j == 0)
+        def _init_shared():
+            dB_ref[...] = jnp.zeros_like(dB_ref)
+            dC_ref[...] = jnp.zeros_like(dC_ref)
 
         # pass 1: recompute h history
         def fwd_body(t, h):
@@ -158,13 +202,13 @@ def _make_bwd_kernel(L, N, D, softplus):
             bu_rep = pltpu.repeat(d_t * u_t, N, axis=1)
             d_rep = pltpu.repeat(d_t, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp(d_rep * a_flat[None, :])
+            a_t = jnp.exp2(d_rep * a2_flat[None, :])
             h = a_t * h + bu_rep * _dot(B_t, E)
             hist_scr[:, pl.ds(t, 1), :] = h[:, None, :]
             return h
 
         bb = u_ref.shape[0]
-        jax.lax.fori_loop(0, L, fwd_body, jnp.zeros((bb, N * D), jnp.float32))
+        jax.lax.fori_loop(0, L, fwd_body, jnp.zeros((bb, N * Dc), jnp.float32))
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dA_scr[:] = jnp.zeros_like(dA_scr)
 
@@ -179,7 +223,7 @@ def _make_bwd_kernel(L, N, D, softplus):
             bu_rep = pltpu.repeat(bu, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp(d_rep * a_flat[None, :])
+            a_t = jnp.exp2(d_rep * a2_flat[None, :])
             g_t = g_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
 
             h_t = hist_scr[:, pl.ds(t, 1), :][:, 0, :]
@@ -194,8 +238,8 @@ def _make_bwd_kernel(L, N, D, softplus):
             dA_scr[:] = dA_scr[:] + jnp.sum(da * a_t * d_rep, axis=0,
                                             keepdims=True)
             B_rep = _dot(B_t, E)
-            db_full = dh                                     # d b_t (bb, ND)
-            du = d_t * _dot(db_full * B_rep, Fn)             # (bb, D)
+            db_full = dh                                     # d b_t (bb, N*Dc)
+            du = d_t * _dot(db_full * B_rep, Fn)             # (bb, Dc)
             ddt = u_t * _dot(db_full * B_rep, Fn) \
                 + _dot(da * a_t * a_flat[None, :], Fn)
             dB = _dot(db_full * bu_rep, Fr)                  # (bb, N)
@@ -204,8 +248,10 @@ def _make_bwd_kernel(L, N, D, softplus):
 
             du_ref[:, pl.ds(t, 1), :] = du.astype(du_ref.dtype)[:, None, :]
             dd_ref[:, pl.ds(t, 1), :] = ddt.astype(dd_ref.dtype)[:, None, :]
-            dB_ref[:, pl.ds(t, 1), :] = dB.astype(dB_ref.dtype)[:, None, :]
-            dC_ref[:, pl.ds(t, 1), :] = dC.astype(dC_ref.dtype)[:, None, :]
+            # chunk-partial dB/dC: accumulate across the j sweep in the
+            # VMEM-resident shared output block
+            dB_ref[:, pl.ds(t, 1), :] += dB.astype(dB_ref.dtype)[:, None, :]
+            dC_ref[:, pl.ds(t, 1), :] += dC.astype(dC_ref.dtype)[:, None, :]
 
             dh_scr[:] = a_t * dh
             return 0
@@ -222,46 +268,52 @@ def _bwd(softplus, res, g):
     u, delta, AT, B, C = res
     BW, L, D = u.shape
     N = AT.shape[0]
-    nd = N * D
+    Dc = _pick_chunk(N, D)
+    at_chunks, n_j, d_pad = _chunk_at(AT, Dc)
+    nd = N * Dc
     bb = _block_rows(L, nd)
     pad = (-BW) % bb
 
     def padrow(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
 
-    up, dp, Bp, Cp, gp = map(padrow, (u, delta, B, C, g))
-    grid = ((BW + pad) // bb,)
-    at_flat = AT.astype(jnp.float32).reshape(1, nd)
-    E, Fr = _expand_reduce(N, D)
-    Fn = _reduce_over_n(N, D)
+    def padch(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, d_pad))) if d_pad else x
+
+    up, dp, gp = padch(padrow(u)), padch(padrow(delta)), padch(padrow(g))
+    Bp, Cp = padrow(B), padrow(C)
+    n_i = (BW + pad) // bb
+    grid = (n_i, n_j)
+    E, Fr = _expand_reduce(N, Dc)
+    Fn = _reduce_over_n(N, Dc)
 
     du, dd, dB, dC, dA_part = pl.pallas_call(
-        _make_bwd_kernel(L, N, D, softplus),
+        _make_bwd_kernel(L, N, Dc, softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, nd), lambda i: (0, 0)),
-            pl.BlockSpec((N, nd), lambda i: (0, 0)),
-            pl.BlockSpec((nd, D), lambda i: (0, 0)),
-            pl.BlockSpec((nd, N), lambda i: (0, 0)),
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, nd), lambda i, j: (j, 0)),
+            pl.BlockSpec((N, nd), lambda i, j: (0, 0)),
+            pl.BlockSpec((nd, Dc), lambda i, j: (0, 0)),
+            pl.BlockSpec((nd, N), lambda i, j: (0, 0)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bb, L, N), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 8, nd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 8, nd), lambda i, j: (i * n_j + j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BW + pad, L, D), u.dtype),
-            jax.ShapeDtypeStruct((BW + pad, L, D), delta.dtype),
+            jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), u.dtype),
+            jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), delta.dtype),
             jax.ShapeDtypeStruct((BW + pad, L, N), B.dtype),
             jax.ShapeDtypeStruct((BW + pad, L, N), C.dtype),
-            jax.ShapeDtypeStruct(((BW + pad) // bb, 8, nd), jnp.float32),
+            jax.ShapeDtypeStruct((n_i * n_j, 8, nd), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, L, nd), jnp.float32),
@@ -269,10 +321,13 @@ def _bwd(softplus, res, g):
             pltpu.VMEM((1, nd), jnp.float32),
         ],
         interpret=_interpret(),
-    )(up, dp, Bp, Cp, at_flat, E, Fn, Fr, gp)
+    )(up, dp, Bp, Cp, at_chunks, E, Fn, Fr, gp)
 
-    dAT = jnp.sum(dA_part, axis=(0, 1)).reshape(N, D)
-    return du[:BW], dd[:BW], dAT, dB[:BW], dC[:BW]
+    # chunk partials -> (N, D): sum rows-blocks, then stitch channel chunks
+    dA_part = dA_part.reshape(n_i, n_j, 8, nd).sum(axis=(0, 2))  # (n_j, nd)
+    dAT = dA_part.reshape(n_j, N, Dc).transpose(1, 0, 2).reshape(N, n_j * Dc)
+    dAT = dAT[:, :D]
+    return du[:BW, :, :D], dd[:BW, :, :D], dAT, dB[:BW], dC[:BW]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -288,12 +343,11 @@ def _scan_fwd_rule(u, delta, AT, B, C, softplus):
 _scan_core.defvjp(_scan_fwd_rule, _bwd)
 
 PALLAS_SCAN_MAX_LEN = 64
-# Mosaic (2026-08 toolchain) crashes compiling the kernel at N*D >= 3072, and
-# profiling shows the kernel only beats the XLA scan where the window batch is
-# huge and the state row is narrow (shallow Swin stages) — deep stages get
-# tiny VMEM blocks and serialize on the in-kernel time loop.
-PALLAS_SCAN_MAX_ND = 1024
-PALLAS_SCAN_MIN_BATCH = 8192
+# Channel chunking (grid dim j) removes the old single-block N*D ceiling; the
+# remaining guards are the VMEM-driven L bound and a batch floor below which
+# the XLA scan's HBM traffic is too small to matter.
+PALLAS_SCAN_MAX_ND = 8192
+PALLAS_SCAN_MIN_BATCH = 1024
 
 
 def pallas_scan_supported(L: int, n: int, d: int, batch: int | None = None) -> bool:

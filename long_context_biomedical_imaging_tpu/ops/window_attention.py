@@ -39,6 +39,7 @@ multiple of G*seq_block with rows that are sliced away afterwards.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+_LOG2E = math.log2(math.e)
 MAX_TOKENS = 512     # single-block ceiling; larger windows take the XLA path
 _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024   # qkv/do/out/dqkv block bytes per cell
@@ -96,26 +98,31 @@ def pick_seq_block(t: int, h: int, d: int, itemsize: int) -> int:
 def _fwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, o_ref, lse_ref, *,
                 scale: float, mask_value: float, use_rid: bool,
                 seq_block: int, heads: int):
+    # base-2 softmax: rel/mask arrive pre-scaled by log2(e), scale*log2(e)
+    # folds into the (T, D) q tile — the (T, T) score tile pays one exp2 and
+    # no separate scale multiply (the kernels are VPU-bound at head_dim 32).
+    scale2 = scale * _LOG2E
     for i in range(seq_block):
-        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value, 0.0)
+        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value * _LOG2E, 0.0)
                  if use_rid else None)
         for h in range(heads):
-            q = qkv_ref[i, 0, h]                      # (T, D)
+            q = (qkv_ref[i, 0, h].astype(jnp.float32) * scale2)  # (T, D)
             k = qkv_ref[i, 1, h]
             v = qkv_ref[i, 2, h]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+            s = jax.lax.dot_general(q.astype(k.dtype), k,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
             s = s + rel_ref[h]
             if rmask is not None:
                 s = s + rmask
             m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot_general((p / l).astype(v.dtype), v,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             o_ref[i, h] = o.astype(o_ref.dtype)
-            lse_ref[i, h] = m + jnp.log(l)            # (T, 1) sublane layout
+            lse_ref[i, h] = m + jnp.log2(l)           # (T, 1), base-2 units
 
 
 def _bwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, do_ref, lse_ref,
@@ -127,19 +134,21 @@ def _bwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, do_ref, lse_ref,
     def _init():
         drel_ref[...] = jnp.zeros_like(drel_ref)
 
+    scale2 = scale * _LOG2E
     for i in range(seq_block):
-        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value, 0.0)
+        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value * _LOG2E, 0.0)
                  if use_rid else None)
         for h in range(heads):
             q = qkv_ref[i, 0, h]
             k = qkv_ref[i, 1, h]
             v = qkv_ref[i, 2, h]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+            q2 = (q.astype(jnp.float32) * scale2).astype(k.dtype)
+            s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
             s = s + rel_ref[h]
             if rmask is not None:
                 s = s + rmask
-            p = jnp.exp(s - lse_ref[i, h])            # lse block is (T, 1)
+            p = jnp.exp2(s - lse_ref[i, h])           # lse block is (T, 1)
 
             do = do_ref[i, h]                          # (T, D)
             dv = jax.lax.dot_general(p.astype(do.dtype), do,
@@ -178,6 +187,7 @@ def _specs(t, d, h, sb):
 
 def _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
     bs, _, h, t, d = qkv.shape
+    rel = rel * _LOG2E        # kernels run a base-2 softmax; bias pre-scaled
     kernel = functools.partial(_fwd_kernel, scale=scale, mask_value=mask_value,
                                use_rid=use_rid, seq_block=sb, heads=h)
     qkv_s, out_s, rel_s, ridq_s, ridk_s, lse_s = _specs(t, d, h, sb)
@@ -199,6 +209,7 @@ def _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
 def _call_bwd(qkv, rel, ridq, ridk, do, lse, delta, scale, mask_value,
               use_rid, sb):
     bs, _, h, t, d = qkv.shape
+    rel = rel * _LOG2E        # base-2 scores; drel output stays natural (= ds)
     kernel = functools.partial(_bwd_kernel, scale=scale, mask_value=mask_value,
                                use_rid=use_rid, seq_block=sb, heads=h)
     qkv_s, out_s, rel_s, ridq_s, ridk_s, lse_s = _specs(t, d, h, sb)

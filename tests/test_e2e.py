@@ -100,6 +100,46 @@ def test_e2e_segmentation_swin(tmp_path):
     assert any(f.endswith("_output.npy") for f in saved)
 
 
+def tiny_swin_args(window=2, use_hyena=False, use_mamba=False):
+    return ["--Swin.size=custom", "--Swin.embed_dim=12",
+            "--Swin.depths", "1", "1", "1", "1",
+            "--Swin.num_heads", "2", "2", "2", "2",
+            "--Swin.patch_size", "2", "--Swin.window_size", str(window),
+            f"--Swin.use_hyena={use_hyena}", f"--Swin.use_mamba={use_mamba}"]
+
+
+def test_e2e_classification_swin_hyena(tmp_path):
+    """Full train/eval/checkpoint loop with the hyena mixer (the ptx workload
+    shape: Swin + hyena + SwinLinear classification) so the fftconv/direct-conv
+    dispatch thresholds run inside the real loop (ref: projects/run_ptx.sh)."""
+    make_dataset(f"{tmp_path}/data", "class", cout=2)
+    rc = main(base_args(tmp_path, "class", "hyena_run",
+                        loss_func="CrossEntropy", encoder_name="Swin",
+                        decoder_name="SwinLinear",
+                        no_in_channel=1, no_out_channel=2)
+              + tiny_swin_args(use_hyena=True))
+    assert rc == 0
+    run_dir = f"{tmp_path}/logs/hyena_run"
+    assert os.path.exists(f"{run_dir}/models/model_best_checkpoint")
+    assert os.path.exists(f"{run_dir}/val_metrics.txt")
+
+
+def test_e2e_segmentation_swin_mamba(tmp_path):
+    """Full loop with the mamba mixer (the vessel workload shape: Swin + mamba
+    + UperNet2D segmentation) so the selective-scan dispatch
+    (pallas_scan_supported / XLA paths) runs inside the real loop
+    (ref: projects/run_vessel.sh)."""
+    make_dataset(f"{tmp_path}/data", "seg", cout=2)
+    rc = main(base_args(tmp_path, "seg", "mamba_run", loss_func="CrossEntropy",
+                        encoder_name="Swin", decoder_name="UperNet2D",
+                        no_in_channel=1, no_out_channel=2)
+              + tiny_swin_args(use_mamba=True))
+    assert rc == 0
+    run_dir = f"{tmp_path}/logs/mamba_run"
+    assert os.path.exists(f"{run_dir}/models/model_best_checkpoint")
+    assert os.path.exists(f"{run_dir}/val_metrics.txt")
+
+
 def test_e2e_enhance_and_inference_only(tmp_path):
     make_dataset(f"{tmp_path}/data", "enhance", cout=1)
     # ViTUNETR taps hidden states 4/7/10 (ref: enhance_heads.py:335-356) so the

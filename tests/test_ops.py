@@ -228,3 +228,38 @@ def test_pallas_selective_scan_parity(rng):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_selective_scan_chunked_channels(rng):
+    """Channel-chunked grid (N*D over the 1024-lane single-chunk budget, with
+    uneven chunks forcing channel padding): fwd + all grads vs reference."""
+    from long_context_biomedical_imaging_tpu.ops import selective_scan_pallas as ssp
+
+    bw, l, d, n = 16, 8, 40, 64                 # dc_max=16 -> 3 chunks of 14
+    assert ssp._pick_chunk(n, d) < d
+    u = jnp.asarray(rng.normal(size=(bw, l, d)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(bw, l, d)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(bw, l, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(bw, l, n)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def ref(u, delta, A, B, C):
+        return selective_scan_reference(
+            u.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+            B.transpose(0, 2, 1), C.transpose(0, 2, 1), D, db).transpose(0, 2, 1)
+
+    got = ssp.selective_scan_pallas(u, delta, A, B, C, D, db)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(u, delta, A, B, C)),
+                               rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        ssp.selective_scan_pallas(*a, D, db))), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a, b in zip(gp, gr):
+        # slightly looser than the unchunked test: the base-2 decay
+        # (exp2(delta*A*log2e)) adds one fp32 rounding to the recurrence
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
