@@ -60,12 +60,15 @@ def main():
     labels = jnp.zeros((B,), jnp.int32)
     rng = jax.random.PRNGKey(1)
 
-    # compile once; reuse the executable for cost analysis and the timed loop
+    # compile once; reuse the executable for the timed loop
     compiled = step.lower(state, x, labels, 1e-4, rng).compile()
-    try:
-        flops_per_step = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops_per_step = float("nan")
+    # Model FLOPs for this geometry, pinned to XLA cost_analysis of the
+    # all-XLA round-1 graph (9.604e12): once ops move into Pallas kernels,
+    # cost_analysis stops counting their FLOPs, so the live number would
+    # silently deflate vs_baseline. A fixed model-FLOPs constant keeps the
+    # utilization ratio comparable across rounds (in-kernel backward
+    # recompute is uncounted either way — utilization is a lower bound).
+    flops_per_step = 9.604e12
 
     state, loss, _ = compiled(state, x, labels, 1e-4, rng)  # warmup
     float(loss)

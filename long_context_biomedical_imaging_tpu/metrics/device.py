@@ -167,10 +167,23 @@ def ssim_device(output, target, valid, kernel_size: int = 11,
 # Task dispatch
 # --------------------------------------------------------------------------- #
 
+def valid_mask(b: int, n_valid) -> jnp.ndarray:
+    """(B,) float validity mask from a count (first n rows valid —
+    single-host, padding at the batch tail) or a per-row mask (multi-host,
+    each process's padding sits at the tail of its own block of the global
+    batch axis)."""
+    if n_valid is None:
+        return jnp.ones((b,), jnp.float32)
+    if getattr(n_valid, "ndim", 0) >= 1:
+        return jnp.reshape(n_valid, (-1,)).astype(jnp.float32)
+    return (jnp.arange(b) < n_valid).astype(jnp.float32)
+
+
 def make_train_metric_fn(config):
     """Returns (names, metric_fn) where metric_fn(output, labels, n_valid)
     computes the task's train metrics (sans loss) as a jnp vector, inside jit.
-    `names` matches the manager's train metric order."""
+    `n_valid` is a count or a per-row mask (see valid_mask). `names` matches
+    the manager's train metric order."""
     task = config.task_type
     binary = config.no_out_channel in (1, 2)
     nc = config.no_out_channel
@@ -179,20 +192,20 @@ def make_train_metric_fn(config):
         names = ("auroc",)
 
         def fn(output, labels, n_valid):
-            valid = (jnp.arange(output.shape[0]) < n_valid).astype(jnp.float32)
+            valid = valid_mask(output.shape[0], n_valid)
             return jnp.stack([auroc_device(output, labels, valid, binary)])
     elif task == "seg":
         names = ("f1",)
 
         def fn(output, labels, n_valid):
-            valid = (jnp.arange(output.shape[0]) < n_valid).astype(jnp.float32)
+            valid = valid_mask(output.shape[0], n_valid)
             return jnp.stack([
                 f1_samplewise_device(output, labels, valid, binary, nc)])
     elif task == "enhance":
         names = ("ssim", "psnr")
 
         def fn(output, labels, n_valid):
-            valid = (jnp.arange(output.shape[0]) < n_valid).astype(jnp.float32)
+            valid = valid_mask(output.shape[0], n_valid)
             return jnp.stack([ssim_device(output, labels, valid),
                               psnr_device(output, labels, valid)])
     else:

@@ -75,16 +75,17 @@ class MetricManager:
         self.eval_metrics = {n: AverageMeter() for n in eval_names}
         self.binary = self.config.no_out_channel in (1, 2)  # ref: :69-72
         self.samplewise = task == "seg"                      # ref: :88-91
-        if rank <= 0:
-            if self.wandb_run is not None:
-                self.wandb_run.define_metric("epoch")
-                for n in train_names:
-                    self.wandb_run.define_metric(f"train/{n}", step_metric="epoch")
-                for n in eval_names:
-                    for split in ("val", "test", "train"):
-                        self.wandb_run.define_metric(f"{split}/{n}",
-                                                     step_metric="epoch")
-            self.best_val_loss = np.inf
+        if rank <= 0 and self.wandb_run is not None:
+            self.wandb_run.define_metric("epoch")
+            for n in train_names:
+                self.wandb_run.define_metric(f"train/{n}", step_metric="epoch")
+            for n in eval_names:
+                for split in ("val", "test", "train"):
+                    self.wandb_run.define_metric(f"{split}/{n}",
+                                                 step_metric="epoch")
+        # every rank tracks the (all-reduced, hence identical) best loss: the
+        # best-checkpoint save is collective
+        self.best_val_loss = np.inf
 
     # -- shared postprocessing (ref: metrics_base.py:156-170, 248-264) --------
 
@@ -174,24 +175,25 @@ class MetricManager:
 
     def on_train_epoch_end(self, train_state, epoch: int, rank: int = 0):
         average = self._reduce_meters(self.train_metrics)
-        if rank <= 0:
-            if self.wandb_run is not None:
-                for name, val in average.items():
-                    self.wandb_run.log({"epoch": epoch, f"train/{name}": val},
-                                       commit=False)
-                gm = getattr(self, "_grad_norm_meter", None)
-                if gm is not None and gm.count:
-                    import optax
-                    param_norm = float(jax.device_get(
-                        optax.global_norm(train_state["params"])))
-                    self.wandb_run.log(
-                        {"epoch": epoch, "train/grad_norm": gm.avg,
-                         "train/param_norm": param_norm}, commit=False)
-            save_checkpoint(self.config, "model_last_epoch",
+        if rank <= 0 and self.wandb_run is not None:
+            for name, val in average.items():
+                self.wandb_run.log({"epoch": epoch, f"train/{name}": val},
+                                   commit=False)
+            gm = getattr(self, "_grad_norm_meter", None)
+            if gm is not None and gm.count:
+                import optax
+                param_norm = float(jax.device_get(
+                    optax.global_norm(train_state["params"])))
+                self.wandb_run.log(
+                    {"epoch": epoch, "train/grad_norm": gm.avg,
+                     "train/param_norm": param_norm}, commit=False)
+        # save_checkpoint is COLLECTIVE (Orbax syncs all processes) — every
+        # rank must call it, not just rank 0
+        save_checkpoint(self.config, "model_last_epoch",
+                        dict(train_state, epoch=epoch))
+        if epoch % self.config.checkpoint_frequency == 0:
+            save_checkpoint(self.config, f"model_epoch_{epoch}",
                             dict(train_state, epoch=epoch))
-            if epoch % self.config.checkpoint_frequency == 0:
-                save_checkpoint(self.config, f"model_epoch_{epoch}",
-                                dict(train_state, epoch=epoch))
         self.average_train_metrics = average
         return average
 
@@ -255,11 +257,13 @@ class MetricManager:
         else:
             average = self._reduce_meters(self.eval_metrics)
 
+        if not final_eval and average["loss"] < self.best_val_loss:
+            # the all-reduced loss is identical on every rank, so this
+            # decision (and the collective Orbax save) is rank-consistent
+            self.best_val_loss = average["loss"]
+            save_checkpoint(self.config, "model_best_checkpoint",
+                            dict(train_state, epoch=epoch))
         if rank <= 0 and not final_eval:
-            if average["loss"] < self.best_val_loss:
-                self.best_val_loss = average["loss"]
-                save_checkpoint(self.config, "model_best_checkpoint",
-                                dict(train_state, epoch=epoch))
             if self.wandb_run is not None:
                 self.wandb_run.log({"epoch": epoch, "best_loss": self.best_val_loss},
                                    commit=False)

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..ops import depthwise_conv1d_cm
 from ..ops.fftconv import causal_long_conv_cm
-from .layers import TorchDense
+from ..ops.hyena_window import hyena_window_mixer, hyena_window_supported
+from .layers import TorchDense, fan_in_bias_init, torch_linear_kernel_init
 
 
 def _positional_embedding_init(emb_dim: int, seq_len: int) -> np.ndarray:
@@ -115,16 +116,42 @@ class HyenaOperator(nn.Module):
         head_dim = self.d_model // self.num_heads
         width = 3 * self.d_model
 
-        # in_proj emits [x1 | x2 | v] channel blocks (head-major inside each) —
-        # a learned permutation of the reference's interleaved layout.
-        z = TorchDense(width)(u)                          # (b, l, 3d)
-
-        # Short causal depthwise conv (ref: hyena.py:285-291,321).
+        # Projection params declared directly (torch nn.Linear defaults) so
+        # the fused Pallas path and the composed path share one param tree.
+        w_in = self.param("in_proj_kernel", torch_linear_kernel_init,
+                          (d, width))
+        b_in = self.param("in_proj_bias", fan_in_bias_init(d), (width,))
+        w_out = self.param("out_proj_kernel", torch_linear_kernel_init,
+                           (d, d))
+        b_out = self.param("out_proj_bias", fan_in_bias_init(d), (d,))
         w_short = self.param("short_filter_kernel",
                              depthwise_conv_init(self.short_filter_order),
                              (width, self.short_filter_order))
         b_short = self.param("short_filter_bias",
                              depthwise_conv_init(self.short_filter_order), (width,))
+
+        filt = HyenaFilter(d_model=head_dim, order=self.filter_order,
+                           seq_len=self.l_max, name="filter_fn")
+        k = filt(l)                                       # (l, head_dim)
+        # per-channel kernel, shared across heads (head-major channel layout)
+        k_full = jnp.tile(k.T, (self.num_heads, 1))       # (d, l)
+        bias_full = jnp.tile(filt.bias, self.num_heads)   # (d,)
+
+        if hyena_window_supported(l) and \
+                (self.dropout == 0.0 or deterministic):
+            # windowed regime: one Pallas kernel for the whole mixer body —
+            # the composed path streams the 3d-wide projection through HBM
+            # ~6x per block (measured 1.4-1.9x step-op speedup on v5e)
+            return hyena_window_mixer(u, w_in, b_in, w_short, b_short,
+                                      k_full, bias_full, w_out, b_out)
+
+        # in_proj emits [x1 | x2 | v] channel blocks (head-major inside each) —
+        # a learned permutation of the reference's interleaved layout.
+        # 2D-flattened matmuls: XLA lowers >2D Dense gradients ~6x slower.
+        z = (u.reshape(b * l, d) @ w_in.astype(u.dtype)
+             + b_in.astype(u.dtype)).reshape(b, l, width)
+
+        # Short causal depthwise conv (ref: hyena.py:285-291,321).
         z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
 
         x1 = z[..., :self.d_model]
@@ -134,16 +161,12 @@ class HyenaOperator(nn.Module):
         v = v * x1                                        # pre-gate
         v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
 
-        filt = HyenaFilter(d_model=head_dim, order=self.filter_order,
-                           seq_len=self.l_max, name="filter_fn")
-        k = filt(l)                                       # (l, head_dim)
-        # per-channel kernel, shared across heads (head-major channel layout)
-        k_full = jnp.tile(k.T, (self.num_heads, 1))       # (d, l)
-        bias_full = jnp.tile(filt.bias, self.num_heads)   # (d,)
         v = causal_long_conv_cm(v, k_full, bias_full)
 
         v = v * x2                                        # post-gate
-        return TorchDense(self.d_model)(v)                # out_proj
+        v = (v.reshape(b * l, d) @ w_out.astype(u.dtype)
+             + b_out.astype(u.dtype)).reshape(b, l, d)
+        return v                                          # out_proj
 
 
 def depthwise_conv_init(kernel_size: int):

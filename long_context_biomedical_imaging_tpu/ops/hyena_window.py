@@ -1,0 +1,346 @@
+"""Fused Pallas hyena window mixer (forward + custom VJP).
+
+The whole HyenaOperator body for windowed call sites (ref:
+model/models/hyena.py:306-360 invoked per-window from backbone_swin.py:361-365)
+as ONE kernel: in_proj matmul -> short causal depthwise conv -> pre-gate ->
+causal long conv (V-tap implicit filter) -> post-gate -> out_proj.
+
+Why: the ptx/micro-class workloads are HBM-bound (measured 76% of v5e HBM
+bandwidth, 10% MXU, on the ptx train step). The composed XLA path streams the
+3C-wide projection through HBM ~6 times per mixer (in_proj out, conv in/out,
+gate operands, long-conv in/out); fused, the only HBM traffic is x once in and
+out once out — everything else lives in VMEM for a block of windows. The
+matmuls run on the MXU in the input dtype (bf16 under AMP); gates and conv
+taps accumulate in fp32.
+
+The short (K-tap) and long (V-tap) causal convs are shift-and-MAC sweeps over
+a zero-padded (block, 2V, C) VMEM scratch: shifted-by-m reads are static
+slices of the scratch (Mosaic crashes on in-kernel jnp.pad/concatenate along
+the token axis, and single-token loops would waste 7/8 sublanes). V <= 64
+windows only; the V=512 windows (cmr/emb) keep the XLA FFT path.
+
+Backward is one kernel per row block: recompute the forward intermediates,
+then chain the transposed ops. Weight gradients accumulate across the 1D grid
+sweep inside their VMEM-resident output blocks (constant index maps; TPU
+grids execute sequentially).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HYENA_WINDOW_MAX_LEN = 64
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _compiler_params():
+    # unrolled shift-MAC temporaries blow the default 16MB scoped VMEM cap;
+    # raise it (v5e has 128MB). Lazy — see window_attention.py.
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def hyena_window_supported(v: int) -> bool:
+    # sublane-aligned window volumes only (auto-shrunk windows in deep stages
+    # of tiny inputs can reach V=1; the composed XLA path handles those)
+    return 8 <= v <= HYENA_WINDOW_MAX_LEN and v % 8 == 0
+
+
+def _pick_bb(V: int, C: int, bwd: bool) -> int:
+    """Rows (windows) per grid block: the live fp32 set is ~14 C-wide token
+    tiles (z/zc/zpad are 3C-wide) in fwd and ~2x that in bwd."""
+    per_row = V * C * 4 * (28 if bwd else 14)
+    budget = 10 * 1024 * 1024
+    rows = max(budget // per_row, 8)
+    bb = 8
+    while bb * 2 <= rows and bb < 1024:
+        bb *= 2
+    return bb
+
+
+def _causal_mac(pad_ref, x, taps, V: int):
+    """y[t] = sum_m taps[m] * x[t-m] via a zero-padded scratch.
+
+    pad_ref: (bb, 2V, W) VMEM scratch; x: (bb, V, W); taps: (M, W)."""
+    pad_ref[:, :V, :] = jnp.zeros_like(x)
+    pad_ref[:, V:, :] = x
+    y = x * taps[0][None, None, :]
+    for m in range(1, taps.shape[0]):
+        y = y + pad_ref[:, V - m:2 * V - m, :] * taps[m][None, None, :]
+    return y
+
+
+def _causal_mac_t(pad_ref, dy, taps, V: int):
+    """Transpose: dx[t] = sum_m taps[m] * dy[t+m] (zeros past the end)."""
+    pad_ref[:, :V, :] = dy
+    pad_ref[:, V:, :] = jnp.zeros_like(dy)
+    dx = dy * taps[0][None, None, :]
+    for m in range(1, taps.shape[0]):
+        dx = dx + pad_ref[:, m:V + m, :] * taps[m][None, None, :]
+    return dx
+
+
+def _tap_grads(pad_ref, dy, x, M: int, V: int):
+    """d taps[m] = sum_{b,t} dy[b,t] * x[b,t-m] -> (M, W).
+
+    pad_ref already holds [zeros | x] from the matching _causal_mac call."""
+    rows = [jnp.sum(dy * x, axis=(0, 1))[None, :]]
+    for m in range(1, M):
+        rows.append(jnp.sum(dy * pad_ref[:, V - m:2 * V - m, :],
+                            axis=(0, 1))[None, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _dot(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, dtype):
+    """a @ b.T"""
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tt(a, b, dtype):
+    """a.T @ b"""
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+
+def _fwd_body(x, win, bin_, ws, bs, kl, zpad_ref, gpad_ref, V, C, dt):
+    """Shared fwd math on a (bb, V, C) fp32 tile; returns intermediates."""
+    bb = x.shape[0]
+    z = _dot(x.reshape(bb * V, C), win, dt).reshape(bb, V, 3 * C)
+    z = z + bin_[0][None, None, :]
+    zc = _causal_mac(zpad_ref, z, ws, V) + bs[0][None, None, :]
+    x1 = zc[:, :, :C]
+    x2 = zc[:, :, C:2 * C]
+    v = zc[:, :, 2 * C:]
+    g = v * x1
+    vl = _causal_mac(gpad_ref, g, kl, V)
+    v2 = vl * x2
+    return z, zc, x1, x2, v, g, vl, v2
+
+
+def _make_fwd_kernel(V, C, dt):
+    def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, bo_ref,
+               o_ref, zpad_scr, gpad_scr):
+        bb = x_ref.shape[0]
+        x = x_ref[...].astype(jnp.float32)
+        *_, v2 = _fwd_body(x, win_ref[...], bin_ref[...], ws_ref[...],
+                           bs_ref[...], kl_ref[...], zpad_scr, gpad_scr,
+                           V, C, dt)
+        out = _dot(v2.reshape(bb * V, C), wo_ref[...], dt) + bo_ref[0][None, :]
+        o_ref[...] = out.reshape(bb, V, C).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _weight_specs(C, K, V):
+    return [
+        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((V, C), lambda i: (0, 0)),
+    ]
+
+
+def _fwd(x, win, bin_, ws, bs, kl, wo, bo):
+    BW, V, C = x.shape
+    dt = x.dtype
+    bb = _pick_bb(V, C, bwd=False)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    grid = ((BW + pad) // bb,)
+    K = ws.shape[0]
+
+    out = pl.pallas_call(
+        _make_fwd_kernel(V, C, dt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + _weight_specs(C, K, V)
+        + [
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+            pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, win, bin_, ws, bs, kl, wo, bo)
+    return out[:BW]
+
+
+# --------------------------------------------------------------------------- #
+# Backward
+# --------------------------------------------------------------------------- #
+
+def _make_bwd_kernel(V, C, K, dt):
+    def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, g_ref,
+               dx_ref, dwin_ref, dbin_ref, dws_ref, dbs_ref, dkl_ref,
+               dwo_ref, dbo_ref, zpad_scr, gpad_scr, tpad_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dwin_ref[...] = jnp.zeros_like(dwin_ref)
+            dbin_ref[...] = jnp.zeros_like(dbin_ref)
+            dws_ref[...] = jnp.zeros_like(dws_ref)
+            dbs_ref[...] = jnp.zeros_like(dbs_ref)
+            dkl_ref[...] = jnp.zeros_like(dkl_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+        bb = x_ref.shape[0]
+        x = x_ref[...].astype(jnp.float32)
+        win, bin_, ws, bs, kl = (win_ref[...], bin_ref[...], ws_ref[...],
+                                 bs_ref[...], kl_ref[...])
+        # recompute; zpad_scr holds [0|z], gpad_scr holds [0|g] afterwards
+        z, zc, x1, x2, v, g, vl, v2 = _fwd_body(
+            x, win, bin_, ws, bs, kl, zpad_scr, gpad_scr, V, C, dt)
+
+        do = g_ref[...].astype(jnp.float32)
+        do2d = do.reshape(bb * V, C)
+        dwo_ref[...] += _dot_tt(v2.reshape(bb * V, C), do2d, dt)
+        dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
+        dv2 = _dot_t(do2d, wo_ref[...], dt).reshape(bb, V, C)
+
+        dvl = dv2 * x2
+        dx2 = dv2 * vl
+        # gpad_scr still holds [0|g] from the forward recompute
+        dkl_ref[...] += _tap_grads(gpad_scr, dvl, g, V, V)
+        dg = _causal_mac_t(tpad_scr, dvl, kl, V)
+
+        dv = dg * x1
+        dx1 = dg * v
+        dzc = jnp.concatenate([dx1, dx2, dv], axis=-1)      # (bb, V, 3C)
+
+        dbs_ref[...] += jnp.sum(dzc, axis=(0, 1))[None, :]
+        # zpad_scr still holds [0|z]
+        dws_ref[...] += _tap_grads(zpad_scr, dzc, z, K, V)
+        dz = _causal_mac_t(zpad_scr, dzc, ws, V)   # overwrites zpad afterwards
+
+        dz2d = dz.reshape(bb * V, 3 * C)
+        dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
+        dwin_ref[...] += _dot_tt(x.reshape(bb * V, C), dz2d, dt)
+        dx = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _bwd(res, do):
+    x, win, bin_, ws, bs, kl, wo = res
+    BW, V, C = x.shape
+    dt = x.dtype
+    K = ws.shape[0]
+    bb = _pick_bb(V, C, bwd=True)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
+    grid = ((BW + pad) // bb,)
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(V, C, K, dt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + _weight_specs(C, K, V)
+        + [
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((V, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((V, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+            pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+            pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, win, bin_, ws, bs, kl, wo, dop)
+
+    dx, dwin, dbin, dws, dbs, dkl, dwo, dbo = outs
+    # cotangents match the args as passed to _mixer_core (the wrapper's
+    # flip/transpose/fold transforms outside the custom_vjp carry their own
+    # transposes): biases/taps travel as fp32, projections in param dtype.
+    return (dx[:BW], dwin.astype(win.dtype), dbin, dws, dbs, dkl,
+            dwo.astype(wo.dtype), dbo)
+
+
+@jax.custom_vjp
+def _mixer_core(x, win, bin_, ws, bs, kl, wo, bo):
+    return _fwd(x, win, bin_, ws, bs, kl, wo, bo)
+
+
+def _fwd_rule(x, win, bin_, ws, bs, kl, wo, bo):
+    out = _fwd(x, win, bin_, ws, bs, kl, wo, bo)
+    return out, (x, win, bin_, ws, bs, kl, wo)
+
+
+_mixer_core.defvjp(_fwd_rule, _bwd)
+
+
+def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
+                       w_out, b_out):
+    """Fused hyena window mixer.
+
+    Args:
+      x: (BW, V, C) windowed tokens, V <= 64.
+      w_in: (C, 3C) in_proj kernel; b_in: (3C,).
+      w_short: (3C, K) short depthwise causal filter; b_short: (3C,).
+      k_long: (C, V) implicit long filter (channel-major like the composed
+        path's k_full); b_long: (C,) fftconv skip weight.
+      w_out: (C, C); b_out: (C,).
+
+    Returns (BW, V, C) in x.dtype. Matches
+    out_proj(postgate(L(pregate(conv(in_proj(x)))))) of the composed path
+    (fp32 accumulation for convs/gates; matmuls in x.dtype on the MXU).
+    """
+    # causal MAC taps: tap[m] = w[:, K-1-m] (the composed op correlates with
+    # the flipped kernel; conv.py:depthwise_conv1d_cm)
+    ws = jnp.flip(w_short.astype(jnp.float32).T, axis=0)        # (K, 3C)
+    # long conv taps are k rows; the skip term bias*u is the tau=0 tap
+    kl = k_long.astype(jnp.float32).T                            # (V, C)
+    kl = kl.at[0].add(b_long.astype(jnp.float32))
+    return _mixer_core(x, w_in, b_in.astype(jnp.float32)[None, :],
+                       ws, b_short.astype(jnp.float32)[None, :], kl,
+                       w_out, b_out.astype(jnp.float32)[None, :])

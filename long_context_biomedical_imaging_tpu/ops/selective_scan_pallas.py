@@ -41,6 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = math.log2(math.e)
 
 
+def _compiler_params():
+    """The bwd kernel's h-history scratch wants more than the default 16MB
+    scoped VMEM at L=64; raise the cap like ops/window_attention.py (v5e has
+    128MB). Lazy: jax.default_backend() at import time would initialize the
+    XLA backend before jax.distributed.initialize can run."""
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -57,10 +67,10 @@ def _pick_chunk(N: int, D: int) -> int:
 
 
 def _block_rows(L: int, nd: int) -> int:
-    """Rows per grid block: keep the bwd h history under ~6MB of VMEM
-    (in/out blocks are double-buffered on top; v5e has 128MB VMEM but the
-    default scoped budget is 16MB)."""
-    budget = 6 * 1024 * 1024
+    """Rows per grid block: keep the bwd h history under ~16MB of VMEM
+    (in/out blocks are double-buffered on top; the kernels raise the scoped
+    VMEM cap to 100MB)."""
+    budget = 16 * 1024 * 1024
     per_row = (L * nd + 6 * nd) * 4
     rows = budget // max(per_row, 1)
     for cand in (512, 256, 128, 64, 32, 16, 8):
@@ -95,15 +105,18 @@ def _reduce_over_n(N: int, Dc: int):
 
 
 def _make_fwd_kernel(L, N, Dc, softplus):
+    # chunked operands carry the chunk as a leading size-1 block axis: Mosaic
+    # requires a block's last two dims be 8/128-divisible or equal to the
+    # array dims, so the chunk axis cannot live next to the channels.
     def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, y_ref, h_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
-        a2_flat = at_ref[0] * _LOG2E          # base-2 decay exponent (1 row op)
+        a2_flat = at_ref[0, 0:1, :] * _LOG2E  # (1, nd) base-2 decay exponent
         E = e_ref[:]                                        # (N, N*Dc)
         Fn = fn_ref[:]                                      # (N*Dc, Dc)
 
         def body(t, _):
-            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            d_t = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            u_t = u_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            d_t = d_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             if softplus:
                 d_t = jax.nn.softplus(d_t)
             bu = d_t * u_t
@@ -111,11 +124,11 @@ def _make_fwd_kernel(L, N, Dc, softplus):
             bu_rep = pltpu.repeat(bu, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp2(d_rep * a2_flat[None, :])
+            a_t = jnp.exp2(d_rep * a2_flat)
             h = a_t * h_scr[:] + bu_rep * _dot(B_t, E)
             h_scr[:] = h
             y = _dot(h * _dot(C_t, E), Fn)                  # (bb, Dc)
-            y_ref[:, pl.ds(t, 1), :] = y.astype(y_ref.dtype)[:, None, :]
+            y_ref[0, :, pl.ds(t, 1), :] = y.astype(y_ref.dtype)[:, None, :]
             return 0
 
         jax.lax.fori_loop(0, L, body, 0)
@@ -124,12 +137,33 @@ def _make_fwd_kernel(L, N, Dc, softplus):
 
 
 def _chunk_at(AT, Dc: int):
-    """(N, D) -> (n_j, N*Dc) with zero-padded channels, chunk-j n-major rows."""
+    """(N, D) -> (n_j, 8, N*Dc) with zero-padded channels, chunk-j n-major
+    rows (broadcast over 8 sublanes — Mosaic block constraint on the chunk
+    axis; one tile of constants per chunk)."""
     N, D = AT.shape
     n_j = -(-D // Dc)
     pad = n_j * Dc - D
     a = jnp.pad(AT.astype(jnp.float32), ((0, 0), (0, pad)))
-    return a.reshape(N, n_j, Dc).transpose(1, 0, 2).reshape(n_j, N * Dc), n_j, pad
+    a = a.reshape(N, n_j, Dc).transpose(1, 0, 2).reshape(n_j, 1, N * Dc)
+    return jnp.broadcast_to(a, (n_j, 8, N * Dc)), n_j, pad
+
+
+def _to_chunked(x, n_j: int, Dc: int, d_pad: int):
+    """(BW, L, D) -> (n_j, BW, L, Dc): channel chunks on a leading axis."""
+    if d_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad)))
+    if n_j == 1:
+        return x[None]
+    bw, l, _ = x.shape
+    return x.reshape(bw, l, n_j, Dc).transpose(2, 0, 1, 3)
+
+
+def _from_chunked(y, D: int):
+    """(n_j, BW, L, Dc) -> (BW, L, D)."""
+    n_j, bw, l, dc = y.shape
+    if n_j == 1:
+        return y[0, :, :, :D]
+    return y.transpose(1, 2, 0, 3).reshape(bw, l, n_j * dc)[:, :, :D]
 
 
 def _fwd(u, delta, AT, B, C, softplus: bool):
@@ -145,9 +179,8 @@ def _fwd(u, delta, AT, B, C, softplus: bool):
         delta = jnp.pad(delta, ((0, pad), (0, 0), (0, 0)))
         B = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
         C = jnp.pad(C, ((0, pad), (0, 0), (0, 0)))
-    if d_pad:
-        u = jnp.pad(u, ((0, 0), (0, 0), (0, d_pad)))
-        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, d_pad)))
+    uc = _to_chunked(u, n_j, Dc, d_pad)
+    dc_ = _to_chunked(delta, n_j, Dc, d_pad)
     grid = ((BW + pad) // bb, n_j)
     E, _ = _expand_reduce(N, Dc)
     Fn = _reduce_over_n(N, Dc)
@@ -156,20 +189,21 @@ def _fwd(u, delta, AT, B, C, softplus: bool):
         _make_fwd_kernel(L, N, Dc, softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, nd), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 8, nd), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((N, nd), lambda i, j: (0, 0)),
             pl.BlockSpec((nd, Dc), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_j, BW + pad, L, Dc), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bb, nd), jnp.float32)],
         interpret=_interpret(),
-    )(u, delta, B, C, at_chunks, E, Fn)
-    return y[:BW, :, :D]
+        compiler_params=_compiler_params(),
+    )(uc, dc_, B, C, at_chunks, E, Fn)
+    return _from_chunked(y, D)[:BW]
 
 
 # --------------------------------------------------------------------------- #
@@ -180,7 +214,7 @@ def _make_bwd_kernel(L, N, Dc, softplus):
     def kernel(u_ref, d_ref, B_ref, C_ref, at_ref, e_ref, fn_ref, fr_ref, g_ref,
                du_ref, dd_ref, dB_ref, dC_ref, dA_ref, hist_scr, dh_scr, dA_scr):
         j = pl.program_id(1)
-        a_flat = at_ref[0]
+        a_flat = at_ref[0, 0:1, :]          # (1, nd)
         a2_flat = a_flat * _LOG2E
         E = e_ref[:]                                        # (N, N*Dc)
         Fn = fn_ref[:]                                      # (N*Dc, Dc) sum over n
@@ -195,19 +229,19 @@ def _make_bwd_kernel(L, N, Dc, softplus):
 
         # pass 1: recompute h history
         def fwd_body(t, h):
-            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            d_t = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            u_t = u_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            d_t = d_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             if softplus:
                 d_t = jax.nn.softplus(d_t)
             bu_rep = pltpu.repeat(d_t * u_t, N, axis=1)
             d_rep = pltpu.repeat(d_t, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp2(d_rep * a2_flat[None, :])
+            a_t = jnp.exp2(d_rep * a2_flat)
             h = a_t * h + bu_rep * _dot(B_t, E)
             hist_scr[:, pl.ds(t, 1), :] = h[:, None, :]
             return h
 
-        bb = u_ref.shape[0]
+        bb = u_ref.shape[1]
         jax.lax.fori_loop(0, L, fwd_body, jnp.zeros((bb, N * Dc), jnp.float32))
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dA_scr[:] = jnp.zeros_like(dA_scr)
@@ -215,16 +249,16 @@ def _make_bwd_kernel(L, N, Dc, softplus):
         # pass 2: reverse sweep
         def bwd_body(i, _):
             t = L - 1 - i
-            u_t = u_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            raw_d = d_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            u_t = u_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            raw_d = d_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             d_t = jax.nn.softplus(raw_d) if softplus else raw_d
             bu = d_t * u_t
             d_rep = pltpu.repeat(d_t, N, axis=1)
             bu_rep = pltpu.repeat(bu, N, axis=1)
             B_t = B_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
             C_t = C_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
-            a_t = jnp.exp2(d_rep * a2_flat[None, :])
-            g_t = g_ref[:, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
+            a_t = jnp.exp2(d_rep * a2_flat)
+            g_t = g_ref[0, :, pl.ds(t, 1), :][:, 0, :].astype(jnp.float32)
 
             h_t = hist_scr[:, pl.ds(t, 1), :][:, 0, :]
             h_prev = hist_scr[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][:, 0, :]
@@ -241,13 +275,13 @@ def _make_bwd_kernel(L, N, Dc, softplus):
             db_full = dh                                     # d b_t (bb, N*Dc)
             du = d_t * _dot(db_full * B_rep, Fn)             # (bb, Dc)
             ddt = u_t * _dot(db_full * B_rep, Fn) \
-                + _dot(da * a_t * a_flat[None, :], Fn)
+                + _dot(da * a_t * a_flat, Fn)
             dB = _dot(db_full * bu_rep, Fr)                  # (bb, N)
             if softplus:
                 ddt = ddt * jax.nn.sigmoid(raw_d)
 
-            du_ref[:, pl.ds(t, 1), :] = du.astype(du_ref.dtype)[:, None, :]
-            dd_ref[:, pl.ds(t, 1), :] = ddt.astype(dd_ref.dtype)[:, None, :]
+            du_ref[0, :, pl.ds(t, 1), :] = du.astype(du_ref.dtype)[:, None, :]
+            dd_ref[0, :, pl.ds(t, 1), :] = ddt.astype(dd_ref.dtype)[:, None, :]
             # chunk-partial dB/dC: accumulate across the j sweep in the
             # VMEM-resident shared output block
             dB_ref[:, pl.ds(t, 1), :] += dB.astype(dB_ref.dtype)[:, None, :]
@@ -277,10 +311,9 @@ def _bwd(softplus, res, g):
     def padrow(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
 
-    def padch(x):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, d_pad))) if d_pad else x
-
-    up, dp, gp = padch(padrow(u)), padch(padrow(delta)), padch(padrow(g))
+    uc = _to_chunked(padrow(u), n_j, Dc, d_pad)
+    dc_ = _to_chunked(padrow(delta), n_j, Dc, d_pad)
+    gc = _to_chunked(padrow(g), n_j, Dc, d_pad)
     Bp, Cp = padrow(B), padrow(C)
     n_i = (BW + pad) // bb
     grid = (n_i, n_j)
@@ -291,26 +324,26 @@ def _bwd(softplus, res, g):
         _make_bwd_kernel(L, N, Dc, softplus),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, nd), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 8, nd), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((N, nd), lambda i, j: (0, 0)),
             pl.BlockSpec((nd, Dc), lambda i, j: (0, 0)),
             pl.BlockSpec((nd, N), lambda i, j: (0, 0)),
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((bb, L, Dc), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
+            pl.BlockSpec((1, bb, L, Dc), lambda i, j: (j, i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((bb, L, N), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 8, nd), lambda i, j: (i * n_j + j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), u.dtype),
-            jax.ShapeDtypeStruct((BW + pad, L, D + d_pad), delta.dtype),
+            jax.ShapeDtypeStruct((n_j, BW + pad, L, Dc), u.dtype),
+            jax.ShapeDtypeStruct((n_j, BW + pad, L, Dc), delta.dtype),
             jax.ShapeDtypeStruct((BW + pad, L, N), B.dtype),
             jax.ShapeDtypeStruct((BW + pad, L, N), C.dtype),
             jax.ShapeDtypeStruct((n_i * n_j, 8, nd), jnp.float32),
@@ -321,13 +354,15 @@ def _bwd(softplus, res, g):
             pltpu.VMEM((1, nd), jnp.float32),
         ],
         interpret=_interpret(),
-    )(up, dp, Bp, Cp, at_chunks, E, Fn, Fr, gp)
+        compiler_params=_compiler_params(),
+    )(uc, dc_, Bp, Cp, at_chunks, E, Fn, Fr, gc)
 
     # chunk partials -> (N, D): sum rows-blocks, then stitch channel chunks
     dA_part = dA_part.reshape(n_i, n_j, 8, nd).sum(axis=(0, 2))  # (n_j, nd)
     dAT = dA_part.reshape(n_j, N, Dc).transpose(1, 0, 2).reshape(N, n_j * Dc)
     dAT = dAT[:, :D]
-    return du[:BW, :, :D], dd[:BW, :, :D], dAT, dB[:BW], dC[:BW]
+    return (_from_chunked(du, D)[:BW], _from_chunked(dd, D)[:BW],
+            dAT, dB[:BW], dC[:BW])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -345,9 +380,11 @@ _scan_core.defvjp(_scan_fwd_rule, _bwd)
 PALLAS_SCAN_MAX_LEN = 64
 # Channel chunking (grid dim j) removes the old single-block N*D ceiling; the
 # remaining guards are the VMEM-driven L bound and a batch floor below which
-# the XLA scan's HBM traffic is too small to matter.
+# the XLA scan wins (measured on v5e at the six workloads' stage shapes:
+# Pallas 1.1-1.8x faster for window batches >= 4096, ~0.9x at 1024, so the
+# crossover gate sits at 2048).
 PALLAS_SCAN_MAX_ND = 8192
-PALLAS_SCAN_MIN_BATCH = 1024
+PALLAS_SCAN_MIN_BATCH = 2048
 
 
 def pallas_scan_supported(L: int, n: int, d: int, batch: int | None = None) -> bool:

@@ -53,11 +53,17 @@ MAX_TOKENS = 512     # single-block ceiling; larger windows take the XLA path
 _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024   # qkv/do/out/dqkv block bytes per cell
 _MAX_UNROLL = 32                  # seq_block * H unrolled iterations cap
-# Mosaic allocates each unrolled iteration's score/softmax temporaries in a
-# separate VMEM stack slot (~1MB per iteration at T=256); the default 16MB
-# scoped-vmem limit trips first, so raise it (v5e has 128MB VMEM).
-_COMPILER_PARAMS = None if jax.default_backend() == 'cpu' else \
-    pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _compiler_params():
+    """Mosaic allocates each unrolled iteration's score/softmax temporaries in
+    a separate VMEM stack slot (~1MB per iteration at T=256); the default 16MB
+    scoped-vmem limit trips first, so raise it (v5e has 128MB VMEM). Lazy:
+    jax.default_backend() at import time would initialize the XLA backend
+    before jax.distributed.initialize can run."""
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _interpret() -> bool:
@@ -201,7 +207,7 @@ def _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
             jax.ShapeDtypeStruct((bs, h, t, 1), jnp.float32),
         ],
         interpret=_interpret(),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_compiler_params(),
     )(qkv, rel, ridq, ridk)
     return out, lse
 
@@ -223,7 +229,7 @@ def _call_bwd(qkv, rel, ridq, ridk, do, lse, delta, scale, mask_value,
             jax.ShapeDtypeStruct((h, t, t), jnp.float32),
         ],
         interpret=_interpret(),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_compiler_params(),
     )(qkv, rel, ridq, ridk, do, lse, delta)
     return dqkv, drel
 

@@ -45,3 +45,45 @@ def shard_batch(mesh: Mesh, *arrays):
     sharding = batch_sharding(mesh)
     out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def put_global_batch(mesh: Mesh, *arrays, accum: bool = False):
+    """Assemble per-process host batches into global batch-sharded arrays.
+
+    Single-process: a plain device_put with the batch axis over 'data'.
+    Multi-process: each process's loader holds a disjoint pi::pc block of the
+    global batch (data/loader.py, like the reference's DistributedSampler
+    per-rank batches, trainer_base.py:126-135); the blocks compose into one
+    global array via jax.make_array_from_process_local_data — device_put would
+    wrongly treat the local block as the whole global array.
+
+    accum=True marks (accum, B, ...) stacked microbatch groups: the *batch*
+    axis (axis 1) shards, not the microbatch axis the scan iterates over.
+    """
+    spec = P(None, "data") if accum else P("data")
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        out = tuple(jax.make_array_from_process_local_data(sharding, a)
+                    for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def fetch_local_rows(array) -> np.ndarray:
+    """Fetch this process's rows of a batch-sharded global array as numpy.
+
+    Multi-host jax.device_get on a non-fully-addressable array raises; each
+    process only needs its own samples (metrics are per-rank then reduced,
+    like the reference, metrics_base.py:191-206). Addressable shards are
+    concatenated in global batch order; replicated-over-'model' duplicates
+    are dropped by keying on the global row slice.
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(jax.device_get(array))
+    by_row = {}
+    for s in array.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_row:
+            by_row[start] = np.asarray(jax.device_get(s.data))
+    return np.concatenate([by_row[k] for k in sorted(by_row)], axis=0)

@@ -72,7 +72,15 @@ def setup_distributed(config: Config) -> None:
     import jax
 
     if config.get("ddp") and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # torchrun-style env contract (ref reads LOCAL_RANK/RANK/WORLD_SIZE,
+        # setup_utils.py:70-73); JAX's own auto-detect only covers managed
+        # clusters (SLURM/GKE), so pass the trio explicitly.
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("WORLD_SIZE")
+                              or os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("RANK")
+                           or os.environ["JAX_PROCESS_ID"]))
     config.world_size = jax.process_count()
     config.global_rank = jax.process_index()
     # All chips this process can see participate in the data mesh.

@@ -135,6 +135,11 @@ def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
     averaged over per-sample losses weighted by validity so padding rows never
     distort it (every loss in `losses/` reduces by per-sample means, so the
     vmap decomposition is exact for full batches).
+
+    `n_valid` is either a count (first n rows valid — single-host, where the
+    padding sits at the end of the batch) or a per-row (B,) bool/0-1 mask
+    (multi-host, where each process's padding sits at the end of its own
+    block of the global batch axis).
     """
 
     def eval_step(state: TrainState, images, labels, n_valid=None):
@@ -150,8 +155,8 @@ def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
         out32 = out.astype(jnp.float32)
         per_sample = jax.vmap(
             lambda o, t: loss_func(o[None], t[None]))(out32, labels)
-        nv = out32.shape[0] if n_valid is None else n_valid
-        w = (jnp.arange(out32.shape[0]) < nv).astype(jnp.float32)
+        from ..metrics.device import valid_mask
+        w = valid_mask(out32.shape[0], n_valid)
         loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, out32
 

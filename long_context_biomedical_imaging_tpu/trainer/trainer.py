@@ -51,6 +51,11 @@ class TrainManager:
         init = jax.jit(self.model.init, static_argnames=("deterministic",))
         variables = init(rng, jnp.zeros(shape, jnp.float32), deterministic=True)
         state = create_train_state(self.model, variables, self.optim.transform)
+        # Replicate over the global mesh: single-process jit can freely reshard
+        # a device-0-committed state, but multi-process jit cannot promote a
+        # host-local array into the global computation — and an explicit
+        # replicated layout skips that reshard on the first step either way.
+        state = jax.device_put(state, self._replicated)
         if self.rank <= 0:
             from ..utils.status import get_device_info, model_info
             self.logger.info("%s", get_device_info())
@@ -77,6 +82,9 @@ class TrainManager:
                 self.optim.curr_epoch = int(ckpt.get("epoch", 0)) + 1
                 state = state.replace(step=jnp.asarray(
                     int(ckpt.get("step", 0)), jnp.int32))
+            # restored leaves are host arrays; re-replicate over the mesh
+            # (multi-process jit cannot promote host-local inputs)
+            state = jax.device_put(state, self._replicated)
         return state
 
     def _state_for_checkpoint(self, state: TrainState) -> dict:
@@ -101,22 +109,8 @@ class TrainManager:
                            prefetch_batches=cfg.prefetch_factor)
 
     def _put(self, images, labels, accum: bool = False):
-        if accum:
-            # (accum, B, ...) batches: shard the *batch* axis, not the
-            # microbatch axis the scan iterates over
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = NamedSharding(self.mesh, P(None, "data"))
-        else:
-            shard = self._batch_shard
-        if jax.process_count() > 1:
-            # Each process loads a disjoint pi::pc subject shard
-            # (data/loader.py) — its local batch is one block of the global
-            # batch axis, like the reference's DistributedSampler per-rank
-            # batches (trainer_base.py:126-135). device_put would wrongly
-            # treat the local block as the whole global array.
-            return (jax.make_array_from_process_local_data(shard, images),
-                    jax.make_array_from_process_local_data(shard, labels))
-        return jax.device_put(images, shard), jax.device_put(labels, shard)
+        from ..parallel import put_global_batch
+        return put_global_batch(self.mesh, images, labels, accum=accum)
 
     # -- main ------------------------------------------------------------------
 
@@ -146,10 +140,15 @@ class TrainManager:
                         params=restore_into(state.params, ckpt["params"]),
                         batch_stats=restore_into(state.batch_stats,
                                                  ckpt.get("batch_stats", {})))
+                    state = jax.device_put(state, self._replicated)
             ran_training = True
             epoch = cfg.num_epochs
 
-            # reload best checkpoint before final eval (ref: trainer_base.py:224-228)
+            # reload best checkpoint before final eval (ref: trainer_base.py:224-228;
+            # the barrier keeps other ranks from reading a half-written save)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("best_checkpoint_reload")
             best = os.path.join(cfg.log_dir_run, "models", "model_best_checkpoint")
             if os.path.exists(best):
                 ckpt = load_checkpoint(best)
@@ -157,6 +156,7 @@ class TrainManager:
                     params=restore_into(state.params, ckpt["params"]),
                     batch_stats=restore_into(state.batch_stats,
                                              ckpt.get("batch_stats", {})))
+                state = jax.device_put(state, self._replicated)
 
         # final evals (ref: trainer_base.py:234-242)
         for split, do_eval, save in (
@@ -212,8 +212,20 @@ class TrainManager:
             rng, sub = jax.random.split(rng)
             lr = self.optim.current_lr(host_step, epoch)
             im_d, lb_d = self._put(im, lb, accum=stacked)
+            if jax.process_count() > 1:
+                # per-row mask over the global batch: this process's padding
+                # sits at the tail of its own block, so a first-n count over
+                # the global axis would mask the wrong rows
+                from ..parallel import put_global_batch
+                masks = [(np.arange(len(m[0])) < m[2]).astype(np.float32)
+                         for m in micros]
+                nv_arg = put_global_batch(
+                    self.mesh, np.stack(masks) if stacked else masks[0],
+                    accum=stacked)
+            else:
+                nv_arg = group_valid
             timer.start_step()
-            state, stats, _ = step_fn(state, im_d, lb_d, lr, sub, group_valid)
+            state, stats, _ = step_fn(state, im_d, lb_d, lr, sub, nv_arg)
             host_step += 1
             stats_host = np.asarray(jax.device_get(stats)).reshape(-1)
             if not np.isfinite(stats_host[0]):
@@ -236,7 +248,7 @@ class TrainManager:
             for it, (images, labels, ids, n_valid) in enumerate(loader):
                 if cfg.debug and it >= 3 * accum:
                     break
-                micros.append((images, labels))
+                micros.append((images, labels, n_valid))
                 group_valid += n_valid
                 n_seen += n_valid
                 if len(micros) < accum:
@@ -293,9 +305,21 @@ class TrainManager:
             if cfg.debug and it >= 3:
                 break
             im_d, lb_d = self._put(images, labels)
-            loss, output = eval_step(state, im_d, lb_d, n_valid)
+            if jax.process_count() > 1:
+                # per-row mask: each process's padding sits at the end of its
+                # own block of the global batch, not of the global batch
+                from ..parallel import put_global_batch
+                mask = (np.arange(len(images)) < n_valid).astype(np.float32)
+                nv_arg = put_global_batch(self.mesh, mask)
+            else:
+                nv_arg = n_valid
+            loss, output = eval_step(state, im_d, lb_d, nv_arg)
+            # fetch only this process's rows: device_get on a global
+            # batch-sharded array is illegal under multi-host (the scalar
+            # loss is replicated, hence fully addressable)
+            from ..parallel import fetch_local_rows
             self.metrics.on_eval_step_end(
-                jax.device_get(loss), jax.device_get(output)[:n_valid],
+                jax.device_get(loss), fetch_local_rows(output)[:n_valid],
                 labels[:n_valid], ids[:n_valid], rank=self.rank,
                 save_samples=save_samples, split=split)
         return self.metrics.on_eval_epoch_end(

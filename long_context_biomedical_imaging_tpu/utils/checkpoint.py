@@ -30,13 +30,22 @@ def _ckpt_dir(config, name: str) -> str:
 
 
 def save_checkpoint(config, name: str, state: dict) -> str:
-    """state: {params, batch_stats, opt_state, step, sched_state, ...}."""
-    if jax.process_index() != 0:
-        return ""
+    """state: {params, batch_stats, opt_state, step, sched_state, ...}.
+
+    COLLECTIVE under multi-host: every process must call this (Orbax's save
+    synchronizes all processes internally — a rank-0-only call deadlocks at
+    that barrier). Rank 0 prepares the directory and writes meta.yaml; the
+    state arrays are replicated, so Orbax's primary host writes them once.
+    """
     path = _ckpt_dir(config, name)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+    if jax.process_count() > 1:
+        # every rank must see the fresh directory before Orbax writes into it
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"ckpt_dir:{name}")
 
     arrays = {k: flax.serialization.to_state_dict(state[k])
               for k in ("params", "batch_stats", "opt_state") if k in state}
@@ -44,12 +53,13 @@ def save_checkpoint(config, name: str, state: dict) -> str:
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "arrays"), arrays)
 
-    meta = {"epoch": int(state.get("epoch", 0)),
-            "step": int(state.get("step", 0)),
-            "sched_state": state.get("sched_state", {}),
-            "config": config.to_dict()}
-    with open(os.path.join(path, "meta.yaml"), "w") as f:
-        yaml.safe_dump(meta, f)
+    if jax.process_index() == 0:
+        meta = {"epoch": int(state.get("epoch", 0)),
+                "step": int(state.get("step", 0)),
+                "sched_state": state.get("sched_state", {}),
+                "config": config.to_dict()}
+        with open(os.path.join(path, "meta.yaml"), "w") as f:
+            yaml.safe_dump(meta, f)
     return path
 
 

@@ -22,27 +22,14 @@ import pytest  # noqa: E402
 if not os.environ.get("LCBI_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: model-wiring tests compile 12-layer graphs; cold
-# compiles dominate test wall-clock otherwise. Keyed by the host's CPU flags:
-# XLA:CPU AOT results compiled on a machine with different vector extensions
-# SIGILL/abort when loaded (the cache key does not include machine features).
-import hashlib  # noqa: E402
-
-
-def _machine_key() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return "generic"
-
-
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_test_cache_{_machine_key()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache: ONLY on the real TPU. On the 8-device CPU mesh,
+# XLA:CPU executables containing collective thunks abort inside
+# AllGatherThunk::Execute when RELOADED from the persistent cache (reproduced
+# deterministically: first run/cache-write passes, any cache-hit run crashes
+# the process) — so multi-device CPU tests must always compile fresh.
+if os.environ.get("LCBI_TEST_TPU"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture

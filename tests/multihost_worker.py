@@ -1,0 +1,103 @@
+"""Worker process for the 2-process multi-host test (tests/test_multihost.py).
+
+Runs a full run.py training under 2-process JAX (each with 2 virtual CPU
+devices — global mesh of 4), then unit-asserts the multi-host primitives:
+loader process-sharding, global batch assembly, local-row fetch, and metric
+all-reduce. Mirrors the reference's torchrun+DDP+DistributedSampler contract
+(ref: setup/setup_utils.py:65-85, trainer/trainer_base.py:126-135,
+metrics/metrics_base.py:191-206) without needing a multi-chip machine.
+
+Launched by test_multihost.py with JAX_COORDINATOR_ADDRESS / WORLD_SIZE /
+RANK env vars set and the TPU-plugin hook disabled.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    tmp = sys.argv[1]
+    pid = int(os.environ["RANK"])
+
+    from run import main as run_main
+
+    args = [
+        "--run_name=mh_run", f"--log_dir={tmp}/logs", f"--data_dir={tmp}/data",
+        "--task_type=class", "--loss_func=CrossEntropy",
+        "--height=16", "--width=16", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2",
+        "--num_epochs=2", "--batch_size=1", "--debug", "--override", "--ddp",
+        "--seed=1", "--eval_frequency=1", "--checkpoint_frequency=100",
+        "--device=cpu", "--num_workers=1", "--prefetch_factor=2",
+        "--scheduler_type=OneCycleLR",
+        "--encoder_name=ViT", "--decoder_name=ViTLinear",
+        "--ViT.size=custom", "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+        "--ViT.num_layers=2", "--ViT.num_heads=2", "--ViT.patch_size", "4",
+    ]
+    rc = run_main(args)
+    assert rc == 0, f"run.py failed on process {pid}"
+
+    import jax
+    import numpy as np
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, len(jax.devices())
+
+    # rank 0 wrote the artifacts (shared filesystem)
+    if pid == 0:
+        run_dir = f"{tmp}/logs/mh_run"
+        for f in ("config.yaml", "models/model_best_checkpoint",
+                  "val_metrics.txt", "test_metrics.txt"):
+            assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # ---- loader shards subjects disjointly across processes (pi::pc) ------
+    from long_context_biomedical_imaging_tpu.data.loader import BatchLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return (np.full((2, 2), i, np.float32), np.int64(i % 2), f"id{i}")
+
+    loader = BatchLoader(FakeDS(), batch_size=2, shuffle=False, num_workers=1)
+    local_ids = [i for b in loader for i in b[2]]
+    from jax.experimental import multihost_utils
+    counts = multihost_utils.process_allgather(
+        np.array([int(s[2:]) in set(int(x[2:]) for x in local_ids)
+                  for s in (f"id{k}" for k in range(10))], np.int32))
+    per_subject = counts.sum(axis=0)
+    assert (per_subject == 1).all(), f"not a disjoint cover: {per_subject}"
+
+    # ---- global batch assembly + local-row fetch ---------------------------
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, fetch_local_rows, put_global_batch)
+
+    mesh = create_mesh()
+    local = (np.arange(6, dtype=np.float32).reshape(2, 3) + 100 * pid)
+    lab = np.array([pid, pid], np.int32)
+    g_img, g_lab = put_global_batch(mesh, local, lab)
+    assert g_img.shape == (4, 3), g_img.shape        # global batch = 2 procs x 2
+    total = jax.jit(lambda x: x.sum())(g_img)
+    expect = sum(np.arange(6) + 100 * p for p in range(2)).sum()
+    assert float(total) == expect, (float(total), expect)
+    back = fetch_local_rows(g_img)
+    assert np.array_equal(back, local), back
+
+    # ---- metric all-reduce: (sum, count) weighted average across hosts -----
+    from long_context_biomedical_imaging_tpu.metrics.manager import (
+        AverageMeter, MetricManager)
+
+    mm = MetricManager.__new__(MetricManager)   # only _reduce_meters needed
+    m = AverageMeter()
+    m.update(1.0 + pid, n=1 + pid)   # p0: (1.0, n=1); p1: (2.0, n=2)
+    avg = mm._reduce_meters({"x": m})["x"]
+    assert abs(avg - (1.0 * 1 + 2.0 * 2) / 3) < 1e-6, avg  # fp32 allgather
+
+    print(f"worker {pid}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -263,3 +263,46 @@ def test_pallas_selective_scan_chunked_channels(rng):
         # (exp2(delta*A*log2e)) adds one fp32 rounding to the recurrence
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_hyena_window_fused_parity(rng):
+    """Fused Pallas hyena mixer == composed in_proj/conv/gates/longconv/out_proj
+    (fp32; interpret mode on the CPU mesh)."""
+    from long_context_biomedical_imaging_tpu.ops.conv import depthwise_conv1d_cm
+    from long_context_biomedical_imaging_tpu.ops.fftconv import causal_long_conv_cm
+    from long_context_biomedical_imaging_tpu.ops.hyena_window import (
+        hyena_window_mixer, hyena_window_supported)
+
+    assert hyena_window_supported(16) and not hyena_window_supported(512)
+
+    BW, V, C, K = 16, 16, 24, 5
+
+    def mk(shape, scale=0.3):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((BW, V, C), 1.0)
+    w_in, b_in = mk((C, 3 * C)), mk((3 * C,))
+    w_short, b_short = mk((3 * C, K)), mk((3 * C,))
+    k_long, b_long = mk((C, V)), mk((C,))
+    w_out, b_out = mk((C, C)), mk((C,))
+    args = (x, w_in, b_in, w_short, b_short, k_long, b_long, w_out, b_out)
+
+    def composed(x, w_in, b_in, w_short, b_short, k_long, b_long, w_out, b_out):
+        z = (x.reshape(-1, C) @ w_in + b_in).reshape(BW, V, 3 * C)
+        z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
+        x1, x2, v = z[..., :C], z[..., C:2 * C], z[..., 2 * C:]
+        v = causal_long_conv_cm(v * x1, k_long, b_long) * x2
+        return (v.reshape(-1, C) @ w_out + b_out).reshape(BW, V, C)
+
+    out_f = hyena_window_mixer(*args)
+    out_c = composed(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=2e-5, atol=2e-5)
+
+    loss_f = lambda *a: jnp.sum(hyena_window_mixer(*a) ** 2)
+    loss_c = lambda *a: jnp.sum(composed(*a) ** 2)
+    gf = jax.grad(loss_f, argnums=tuple(range(9)))(*args)
+    gc = jax.grad(loss_c, argnums=tuple(range(9)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
