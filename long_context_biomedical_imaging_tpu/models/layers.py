@@ -93,7 +93,13 @@ class DropPath(nn.Module):
 
 
 class MLPBlock(nn.Module):
-    """Transformer MLP: Dense -> GELU -> drop -> Dense -> drop (MONAI MLPBlock)."""
+    """Transformer MLP: Dense -> GELU -> drop -> Dense -> drop (MONAI MLPBlock).
+
+    Params are declared directly (torch nn.Linear defaults) so the fused
+    Pallas path (ops/fused_mlp.py — hidden activation stays in VMEM, backward
+    recomputes it; the workloads are HBM-bound) and the composed path share
+    one param tree. Dropout is 0.0 in every reference config; the composed
+    path keeps it for surface completeness."""
 
     hidden_size: int
     mlp_dim: int
@@ -101,12 +107,27 @@ class MLPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = TorchDense(self.mlp_dim)(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = TorchDense(self.hidden_size)(x)
-        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        return x
+        w1 = self.param("fc1_kernel", torch_linear_kernel_init,
+                        (self.hidden_size, self.mlp_dim))
+        b1 = self.param("fc1_bias", fan_in_bias_init(self.hidden_size),
+                        (self.mlp_dim,))
+        w2 = self.param("fc2_kernel", torch_linear_kernel_init,
+                        (self.mlp_dim, self.hidden_size))
+        b2 = self.param("fc2_bias", fan_in_bias_init(self.mlp_dim),
+                        (self.hidden_size,))
+
+        if self.dropout_rate == 0.0 or deterministic:
+            from ..ops.fused_mlp import fused_mlp
+            return fused_mlp(x, w1, b1, w2, b2)
+
+        lead = x.shape[:-1]
+        h = (x.reshape(-1, self.hidden_size) @ w1.astype(x.dtype)
+             + b1.astype(x.dtype))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        out = h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out.reshape(*lead, self.hidden_size)
 
 
 def extract_patches(x, patch_size):

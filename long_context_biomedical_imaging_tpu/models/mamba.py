@@ -24,10 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import depthwise_conv1d_cm, selective_scan_chunked
+from ..ops.mamba_window import mamba_window_mixer, mamba_window_supported
 from ..ops.selective_scan import selective_scan_cm
 from ..ops.selective_scan_pallas import pallas_scan_supported, selective_scan_pallas
 from .hyena import depthwise_conv_init
-from .layers import TorchDense
+from .layers import torch_linear_kernel_init
 
 
 def _dt_proj_kernel_init(dt_rank: int, dt_scale: float = 1.0):
@@ -69,34 +70,21 @@ class MambaVisionMixer(nn.Module):
         d_half = d_inner // 2
         dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
 
-        # Channel-minor throughout: (b, l, channels) with channels on the VPU
-        # lanes — see selective_scan_cm for why the reference's (b, d, l)
-        # layout is hostile to TPU at window-volume sequence lengths.
-        xz = TorchDense(d_inner, use_bias=False)(hidden_states)  # (b, l, d_inner)
-
-        # Two depthwise conv branches, no bias (ref quirk), SiLU. Run as ONE
-        # conv over the concatenated channels: at Swin stage-0 each half is
-        # d_model/2 = 48 channels — 48 of 128 VPU lanes (37.5%) split vs 96
-        # (75%) concatenated. Separate parameters, concatenated compute.
+        # Projection params declared directly (torch nn.Linear defaults) so
+        # the fused Pallas path and the composed path share one param tree.
+        w_xz = self.param("in_proj_kernel", torch_linear_kernel_init,
+                          (self.d_model, d_inner))
         wx = self.param("conv1d_x_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
         wz = self.param("conv1d_z_kernel", depthwise_conv_init(self.d_conv),
                         (d_half, self.d_conv))
-        xz = nn.silu(depthwise_conv1d_cm(
-            xz, jnp.concatenate([wx, wz], axis=0), None, "same"))
-        x, z = xz[..., :d_half], xz[..., d_half:]
-
-        # Input-dependent dt, B, C.
-        x_dbl = TorchDense(dt_rank + 2 * self.d_state, use_bias=False)(x)
-        dt = x_dbl[..., :dt_rank]
-        B = x_dbl[..., dt_rank:dt_rank + self.d_state]
-        C = x_dbl[..., dt_rank + self.d_state:]
-
+        w_dbl = self.param("x_proj_kernel", torch_linear_kernel_init,
+                           (d_half, dt_rank + 2 * self.d_state))
         dt_kernel = self.param("dt_proj_kernel", _dt_proj_kernel_init(dt_rank),
                                (dt_rank, d_half))
         dt_bias = self.param("dt_proj_bias", _dt_proj_bias_init(d_half), (d_half,))
-        dt = dt @ dt_kernel + dt_bias                              # (b, l, d_half)
-
+        w_out = self.param("out_proj_kernel", torch_linear_kernel_init,
+                           (d_inner, self.d_model))
         A_log = self.param("A_log",
                            lambda key: jnp.log(jnp.broadcast_to(
                                jnp.arange(1, self.d_state + 1, dtype=jnp.float32),
@@ -105,6 +93,38 @@ class MambaVisionMixer(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_half,))
 
         L = hidden_states.shape[1]
+        if (self.expand == 1 and self.d_conv == 3
+                and mamba_window_supported(L) and b >= 1024):
+            # windowed regime: the ENTIRE mixer body as one Pallas kernel —
+            # the composed path streams xz/conv/x/dt/B/C/y through HBM
+            # between stages (measured 1.1-2.3x fwd+bwd on v5e)
+            return mamba_window_mixer(hidden_states, w_xz, wx, wz, w_dbl,
+                                      dt_kernel, dt_bias, A, D, w_out,
+                                      d_state=self.d_state)
+
+        # Channel-minor throughout: (b, l, channels) with channels on the VPU
+        # lanes — see selective_scan_cm for why the reference's (b, d, l)
+        # layout is hostile to TPU at window-volume sequence lengths.
+        xz = (hidden_states.reshape(b * l, self.d_model)
+              @ w_xz.astype(hidden_states.dtype)).reshape(b, l, d_inner)
+
+        # Two depthwise conv branches, no bias (ref quirk), SiLU. Run as ONE
+        # conv over the concatenated channels: at Swin stage-0 each half is
+        # d_model/2 = 48 channels — 48 of 128 VPU lanes (37.5%) split vs 96
+        # (75%) concatenated. Separate parameters, concatenated compute.
+        xz = nn.silu(depthwise_conv1d_cm(
+            xz, jnp.concatenate([wx, wz], axis=0), None, "same"))
+        x, z = xz[..., :d_half], xz[..., d_half:]
+
+        # Input-dependent dt, B, C.
+        x_dbl = (x.reshape(b * l, d_half) @ w_dbl.astype(x.dtype)
+                 ).reshape(b, l, dt_rank + 2 * self.d_state)
+        dt = x_dbl[..., :dt_rank]
+        B = x_dbl[..., dt_rank:dt_rank + self.d_state]
+        C = x_dbl[..., dt_rank + self.d_state:]
+
+        dt = dt @ dt_kernel + dt_bias                              # (b, l, d_half)
+
         if pallas_scan_supported(L, self.d_state, d_half,
                                  batch=hidden_states.shape[0]):
             # windowed regime: fused Pallas kernel (state never leaves VMEM)
@@ -123,4 +143,5 @@ class MambaVisionMixer(nn.Module):
                 delta_bias=dt_bias, delta_softplus=True).transpose(0, 2, 1)
 
         y = jnp.concatenate([y, z], axis=-1)                       # (b, l, d_inner)
-        return TorchDense(self.d_model, use_bias=False)(y)         # out_proj
+        return (y.reshape(b * l, d_inner)                          # out_proj
+                @ w_out.astype(y.dtype)).reshape(b, l, self.d_model)

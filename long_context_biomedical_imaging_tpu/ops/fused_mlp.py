@@ -1,0 +1,220 @@
+"""Fused Pallas transformer MLP (forward + custom VJP).
+
+out = gelu_exact(x @ W1 + b1) @ W2 + b2 for the pre-LN transformer blocks
+(ref: MONAI MLPBlock used at backbone_vit.py:250 / backbone_swin.py:489-490).
+
+Why: the flagship workloads are HBM-bound (BASELINE.md round-2 roofline). The
+composed path writes and re-reads the 4C-wide hidden activation in the
+forward AND stores it for the backward — ~10 C-wide HBM passes per block.
+Fused, the hidden lives in VMEM and the backward recomputes it from x: HBM
+traffic is x in / out out (+ dx, do in the backward).
+
+Matmuls run on the MXU in the input dtype (bf16 under AMP) with fp32
+accumulation; GELU is the exact erf form, matching nn.gelu(approximate=False).
+Weight gradients accumulate across the 1D grid sweep in their VMEM-resident
+output blocks (TPU grids are sequential).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _compiler_params():
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _pick_bn(C: int, H: int, bwd: bool) -> int:
+    """Token rows per grid block: live fp32 set ~3 H-wide + ~3 C-wide tiles
+    (double in bwd), plus the weight blocks."""
+    per_row = 4 * (3 * H + 3 * C) * (2 if bwd else 1)
+    budget = 8 * 1024 * 1024
+    rows = max(budget // per_row, 64)
+    bn = 64
+    while bn * 2 <= rows and bn < 4096:
+        bn *= 2
+    return bn
+
+
+def _dot(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tt(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7 — exact at
+    fp32 granularity). Mosaic has no erf lowering, so it is built from exp."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu(u):
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+
+
+def _gelu_grad(u):
+    cdf = 0.5 * (1.0 + _erf(u * _INV_SQRT2))
+    pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+    return cdf + u * pdf
+
+
+def _make_fwd_kernel(dt):
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        x = x_ref[...]
+        u = _dot(x, w1_ref[...], dt) + b1_ref[0][None, :]
+        h = _gelu(u)
+        out = _dot(h, w2_ref[...], dt) + b2_ref[0][None, :]
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_kernel(dt):
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
+               dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        x = x_ref[...]
+        u = _dot(x, w1_ref[...], dt) + b1_ref[0][None, :]
+        h = _gelu(u)
+        do = g_ref[...].astype(jnp.float32)
+        dw2_ref[...] += _dot_tt(h, do, dt)
+        db2_ref[...] += jnp.sum(do, axis=0, keepdims=True)
+        dh = _dot_t(do, w2_ref[...], dt)
+        du = dh * _gelu_grad(u)
+        dw1_ref[...] += _dot_tt(x.astype(jnp.float32), du, dt)
+        db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+        dx_ref[...] = _dot_t(du, w1_ref[...], dt).astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _fwd(x, w1, b1, w2, b2):
+    N, C = x.shape
+    H = w1.shape[1]
+    dt = x.dtype
+    bn = _pick_bn(C, H, bwd=False)
+    pad = (-N) % bn
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    out = pl.pallas_call(
+        _make_fwd_kernel(dt),
+        grid=((N + pad) // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N + pad, C), x.dtype),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, w1, b1, w2, b2)
+    return out[:N]
+
+
+def _bwd(res, do):
+    x, w1, b1, w2 = res
+    N, C = x.shape
+    H = w1.shape[1]
+    dt = x.dtype
+    bn = _pick_bn(C, H, bwd=True)
+    pad = (-N) % bn
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    dop = jnp.pad(do, ((0, pad), (0, 0))) if pad else do
+
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _make_bwd_kernel(dt),
+        grid=((N + pad) // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad, C), x.dtype),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, w1, b1, w2, dop)
+
+    return (dx[:N], dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2)
+
+
+@jax.custom_vjp
+def _mlp_core(x, w1, b1, w2, b2):
+    return _fwd(x, w1, b1, w2, b2)
+
+
+def _fwd_rule(x, w1, b1, w2, b2):
+    return _fwd(x, w1, b1, w2, b2), (x, w1, b1, w2)
+
+
+_mlp_core.defvjp(_fwd_rule, _bwd)
+
+
+def fused_mlp(x, w1, b1, w2, b2):
+    """gelu_exact(x @ w1 + b1) @ w2 + b2 with the hidden kept in VMEM.
+
+    x: (..., C); w1: (C, H); b1: (H,); w2: (H, C); b2: (C,).
+    Returns x.shape in x.dtype.
+    """
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    x2 = x.reshape(-1, C)
+    out = _mlp_core(x2, w1, b1.astype(jnp.float32)[None, :],
+                    w2, b2.astype(jnp.float32)[None, :])
+    return out.reshape(*lead, C)

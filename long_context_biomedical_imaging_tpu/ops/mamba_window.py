@@ -1,0 +1,556 @@
+"""Fused Pallas MambaVision window mixer (forward + custom VJP).
+
+The whole MambaVisionMixer body for windowed call sites (ref:
+model/models/mamba.py:108-139 invoked per-window from backbone_swin.py:361-365)
+as ONE kernel per row block of windows:
+
+  in_proj matmul -> depthwise 'same' conv (K=3, both branches concatenated,
+  no bias — ref quirk) -> SiLU -> split x|z -> x_proj matmul (dt, B, C) ->
+  dt_proj (+ double dt bias, ref quirk) -> selective scan (VMEM state,
+  n-major 0/1-matrix expanders like ops/selective_scan_pallas.py) -> D skip
+  -> concat [y|z] -> out_proj matmul.
+
+Why: the mamba workloads are HBM-bound like the hyena ones (BASELINE.md
+round-2 roofline; mamba ptx-geometry step 564 ms vs fused-hyena 291 ms). The
+composed path streams xz / conv out / x / dt / B / C / y through HBM between
+every stage — fused, HBM traffic is x_in once in and out once out.
+
+Wide channel counts chunk the scan state IN-KERNEL (static loop over channel
+chunks of <=1024 state lanes — the Mosaic single-block ceiling); x/dt/y live
+in chunk-padded VMEM scratches so every chunk touches static lane slices.
+The scan unrolls statically over t (V <= 64): value-row indexing stays
+static, which Mosaic lowers cleanly (dynamic value indexing does not).
+
+Backward is one kernel per row block: recompute the forward (conv scratch,
+scan h history per chunk), then chain the transposed ops; per-row gradients
+are written into scratches row-by-row (no value scatter — Mosaic crashes on
+in-kernel pad/concat/DUS along the token axis), and weight gradients
+accumulate across the sequential 1D grid in VMEM-resident output blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = math.log2(math.e)
+
+MAMBA_WINDOW_MAX_LEN = 64
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _compiler_params():
+    if jax.default_backend() == "cpu":
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def mamba_window_supported(v: int) -> bool:
+    # V >= 16 so the conv scratch's 8-row zero margin fits inside 2V
+    return 16 <= v <= MAMBA_WINDOW_MAX_LEN and v % 8 == 0
+
+
+def _pick_chunk(N: int, Dh: int) -> int:
+    dc_max = max(1, 1024 // N)
+    n_j = -(-Dh // dc_max)
+    return -(-Dh // n_j)
+
+
+def _pick_bb(V: int, C: int, N: int, n_j: int, Dc: int, bwd: bool) -> int:
+    """Rows (windows) per grid block. Large blocks matter: the scan's per-t
+    ops are (bb, N*Dc) tiles, and at bb < 256 they are latency-bound (the
+    standalone scan kernel runs bb=512). Live fp32 set: conv scratch
+    (2V x C), ~8 (V x C) value tiles, scan scratches; bwd adds the
+    (V, n_j*N*Dc) h history and the reverse sweep."""
+    hist = V * n_j * N * Dc * 4 if bwd else 0
+    per_row = V * 4 * (16 * C if not bwd else 30 * C) + hist
+    budget = (36 if bwd else 28) * 1024 * 1024
+    rows = max(budget // max(per_row, 1), 8)
+    bb = 8
+    while bb * 2 <= rows and bb < 512:
+        bb *= 2
+    return bb
+
+
+def _expand_reduce(N: int, Dc: int):
+    e = np.kron(np.eye(N, dtype=np.float32), np.ones((1, Dc), np.float32))
+    return jnp.asarray(e), jnp.asarray(e.T)     # E (N, N*Dc), Fr (N*Dc, N)
+
+
+def _reduce_over_n(N: int, Dc: int):
+    f = np.kron(np.ones((N, 1), np.float32), np.eye(Dc, dtype=np.float32))
+    return jnp.asarray(f)                       # (N*Dc, Dc)
+
+
+def _dot(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tt(a, b, dtype):
+    return jax.lax.dot_general(a.astype(dtype), b.astype(dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _make_dot32(dt):
+    """Per-step scan matmuls against the 0/1 expander matrices.
+
+    Under bf16 AMP the value operands (B, C, h*C_rep, ...) are bf16-sourced
+    anyway, so single-pass bf16 MXU ops lose nothing vs the composed path —
+    while fp32 HIGHEST costs 6 MXU passes and made the scan latency-bound
+    (measured 0.5% MXU on the mamba step). fp32 inputs keep exact fp32."""
+    if dt == jnp.bfloat16:
+        def dot32(a, b):
+            return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                       b.astype(jnp.bfloat16),
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        return dot32
+
+    def dot32(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    return dot32
+
+
+def _silu(u):
+    return u * jax.nn.sigmoid(u)
+
+
+def _silu_grad(u):
+    s = jax.nn.sigmoid(u)
+    return s * (1.0 + u * (1.0 - s))
+
+
+def _same_conv3(pad_ref, x, taps, V: int, transpose: bool = False):
+    """K=3 depthwise 'same' conv: y[t] = sum_{j=0..2} taps[j] * x[t-1+j]
+    (transpose flips the offsets). pad_ref: (bb, 2V, W) scratch; x sits at
+    rows [8, 8+V) with zero margins (V >= 16 keeps 9+V <= 2V)."""
+    pad_ref[:, :8, :] = jnp.zeros_like(x[:, :8, :])
+    pad_ref[:, 8:8 + V, :] = x
+    pad_ref[:, 8 + V:, :] = jnp.zeros_like(x[:, :V - 8, :])
+    o0, o2 = (1, -1) if transpose else (-1, 1)
+    y = x * taps[1][None, None, :]
+    y = y + pad_ref[:, 8 + o0:8 + o0 + V, :] * taps[0][None, None, :]
+    y = y + pad_ref[:, 8 + o2:8 + o2 + V, :] * taps[2][None, None, :]
+    return y
+
+
+def _conv3_tap_grads(pad_ref, dy, V: int):
+    """d taps[j] = sum_{b,t} dy[b,t] * x[b,t-1+j]; pad_ref holds [0|x|0]."""
+    rows = []
+    for o in (-1, 0, 1):
+        rows.append(jnp.sum(dy * pad_ref[:, 8 + o:8 + o + V, :],
+                            axis=(0, 1))[None, :])
+    return jnp.concatenate(rows, axis=0)        # (3, W)
+
+
+# --------------------------------------------------------------------------- #
+# Shared forward stage (pre-scan)
+# --------------------------------------------------------------------------- #
+
+def _pre_scan(x_in, wxz, wconv, wdbl, wdt, dtb2, pad_scr, V, C, Dh, R, N, dt):
+    """in_proj -> conv+SiLU -> split -> x_dbl -> dt. pad_scr retains [0|xz|0]
+    for the backward's conv tap grads."""
+    bb = x_in.shape[0]
+    xz = _dot(x_in.reshape(bb * V, C), wxz, dt).reshape(bb, V, C)
+    u = _same_conv3(pad_scr, xz, wconv, V)
+    s = _silu(u)
+    x = s[:, :, :Dh]
+    z = s[:, :, Dh:]
+    dbl = _dot(x.reshape(bb * V, Dh), wdbl, dt).reshape(bb, V, R + 2 * N)
+    dt_part = dbl[:, :, :R]
+    Bc = dbl[:, :, R:R + N]
+    Cc = dbl[:, :, R + N:]
+    dtv = _dot(dt_part.reshape(bb * V, R), wdt, dt).reshape(bb, V, Dh) \
+        + dtb2[0][None, None, :]
+    return xz, u, x, z, dt_part, dtv, Bc, Cc
+
+
+def _fill_chunked(scr, val, Dh):
+    """Write (bb, V, Dh) into a (bb, V, n_j*Dc) chunk-padded scratch."""
+    if scr.shape[-1] > Dh:
+        scr[...] = jnp.zeros_like(scr)
+    scr[:, :, :Dh] = val
+
+
+# --------------------------------------------------------------------------- #
+# Forward kernel
+# --------------------------------------------------------------------------- #
+
+def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
+    nd = N * Dc
+    _dot32 = _make_dot32(dt)
+
+    def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
+               at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
+               pad_scr, x_scr, dtv_scr, y_scr):
+        bb = x_ref.shape[0]
+        x_in = x_ref[...].astype(jnp.float32)
+        xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
+            x_in, wxz_ref[...], wconv_ref[...], wdbl_ref[...], wdt_ref[...],
+            dtb2_ref[...], pad_scr, V, C, Dh, R, N, dt)
+
+        _fill_chunked(x_scr, x, Dh)
+        _fill_chunked(dtv_scr, dtv, Dh)
+
+        E = e_ref[...]
+        Fn = fn_ref[...]
+        for jc in range(n_j):
+            a2 = at_ref[jc, 0:1, :] * _LOG2E           # (1, nd)
+            lo = jc * Dc
+            h = jnp.zeros((bb, nd), jnp.float32)
+            for t in range(V):
+                x_t = x_scr[:, t, lo:lo + Dc]
+                d_t = jax.nn.softplus(dtv_scr[:, t, lo:lo + Dc])
+                bu = d_t * x_t
+                d_rep = pltpu.repeat(d_t, N, axis=1)
+                bu_rep = pltpu.repeat(bu, N, axis=1)
+                a_t = jnp.exp2(d_rep * a2)
+                h = a_t * h + bu_rep * _dot32(Bc[:, t, :], E)
+                y_scr[:, t, lo:lo + Dc] = _dot32(h * _dot32(Cc[:, t, :], E),
+                                                 Fn)
+
+        y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
+        yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
+        out = _dot(yz2, wout_ref[...], dt)
+        o_ref[...] = out.reshape(bb, V, C).astype(o_ref.dtype)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------- #
+# Backward kernel
+# --------------------------------------------------------------------------- #
+
+def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
+    nd = N * Dc
+    _dot32 = _make_dot32(dt)
+
+    def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
+               at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref, g_ref,
+               dx_ref, dwxz_ref, dwconv_ref, dwdbl_ref, dwdt_ref, ddtb_ref,
+               dat_ref, ddskip_ref, dwout_ref,
+               pad_scr, x_scr, dtv_scr, y_scr, hist_scr, dh_scr,
+               dxs_scr, ddt_scr, dB_scr, dC_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dwxz_ref[...] = jnp.zeros_like(dwxz_ref)
+            dwconv_ref[...] = jnp.zeros_like(dwconv_ref)
+            dwdbl_ref[...] = jnp.zeros_like(dwdbl_ref)
+            dwdt_ref[...] = jnp.zeros_like(dwdt_ref)
+            ddtb_ref[...] = jnp.zeros_like(ddtb_ref)
+            dat_ref[...] = jnp.zeros_like(dat_ref)
+            ddskip_ref[...] = jnp.zeros_like(ddskip_ref)
+            dwout_ref[...] = jnp.zeros_like(dwout_ref)
+
+        bb = x_ref.shape[0]
+        x_in = x_ref[...].astype(jnp.float32)
+        xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
+            x_in, wxz_ref[...], wconv_ref[...], wdbl_ref[...], wdt_ref[...],
+            dtb2_ref[...], pad_scr, V, C, Dh, R, N, dt)
+
+        _fill_chunked(x_scr, x, Dh)
+        _fill_chunked(dtv_scr, dtv, Dh)
+
+        E = e_ref[...]
+        Fn = fn_ref[...]
+        Fr = fr_ref[...]
+
+        # recompute the scan, keeping the h history per chunk
+        for jc in range(n_j):
+            a2 = at_ref[jc, 0:1, :] * _LOG2E
+            lo = jc * Dc
+            h = jnp.zeros((bb, nd), jnp.float32)
+            for t in range(V):
+                x_t = x_scr[:, t, lo:lo + Dc]
+                d_t = jax.nn.softplus(dtv_scr[:, t, lo:lo + Dc])
+                d_rep = pltpu.repeat(d_t, N, axis=1)
+                bu_rep = pltpu.repeat(d_t * x_t, N, axis=1)
+                a_t = jnp.exp2(d_rep * a2)
+                h = a_t * h + bu_rep * _dot32(Bc[:, t, :], E)
+                hist_scr[:, t, jc * nd:(jc + 1) * nd] = h
+                y_scr[:, t, lo:lo + Dc] = _dot32(h * _dot32(Cc[:, t, :], E),
+                                                 Fn)
+
+        # ---- out_proj / D-skip transpose ----------------------------------
+        do = g_ref[...].astype(jnp.float32)
+        do2 = do.reshape(bb * V, C)
+        y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
+        yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
+        dwout_ref[...] += _dot_tt(yz2, do2, dt)
+        dyz = _dot_t(do2, wout_ref[...], dt).reshape(bb, V, C)
+        dy = dyz[:, :, :Dh]
+        dz = dyz[:, :, Dh:]
+
+        ddskip_ref[...] += jnp.sum(dy * x, axis=(0, 1))[None, :]
+        # chunk-padded dy so the last chunk's lane slice stays in bounds
+        # (y_scr's scan values are no longer needed past this point)
+        _fill_chunked(y_scr, dy, Dh)
+
+        # ---- scan backward: reverse sweep per chunk -----------------------
+        dB_scr[...] = jnp.zeros_like(dB_scr)
+        dC_scr[...] = jnp.zeros_like(dC_scr)
+        for jc in range(n_j):
+            a_flat = at_ref[jc, 0:1, :]
+            a2 = a_flat * _LOG2E
+            lo = jc * Dc
+            dh_scr[...] = jnp.zeros_like(dh_scr)
+            dA_acc = jnp.zeros((1, nd), jnp.float32)
+            for t in range(V - 1, -1, -1):
+                x_t = x_scr[:, t, lo:lo + Dc]
+                raw = dtv_scr[:, t, lo:lo + Dc]
+                d_t = jax.nn.softplus(raw)
+                bu = d_t * x_t
+                d_rep = pltpu.repeat(d_t, N, axis=1)
+                bu_rep = pltpu.repeat(bu, N, axis=1)
+                B_t = Bc[:, t, :]
+                C_t = Cc[:, t, :]
+                a_t = jnp.exp2(d_rep * a2)
+                g_t = y_scr[:, t, lo:lo + Dc]
+
+                h_t = hist_scr[:, t, jc * nd:(jc + 1) * nd]
+                if t > 0:
+                    h_prev = hist_scr[:, t - 1, jc * nd:(jc + 1) * nd]
+                else:
+                    h_prev = jnp.zeros_like(h_t)
+
+                g_rep = pltpu.repeat(g_t, N, axis=1)
+                dh = dh_scr[...] + _dot32(C_t, E) * g_rep
+
+                dC_scr[:, t, :] += _dot32(h_t * g_rep, Fr)
+                da = dh * h_prev
+                dA_acc = dA_acc + jnp.sum(da * a_t * d_rep, axis=0,
+                                          keepdims=True)
+                B_rep = _dot32(B_t, E)
+                red = _dot32(dh * B_rep, Fn)               # (bb, Dc)
+                dxs_scr[:, t, lo:lo + Dc] = d_t * red
+                ddt_scr[:, t, lo:lo + Dc] = jax.nn.sigmoid(raw) * (
+                    x_t * red + _dot32(da * a_t * a_flat, Fn))
+                dB_scr[:, t, :] += _dot32(dh * bu_rep, Fr)
+                dh_scr[...] = a_t * dh
+            dat_ref[jc, 0:1, :] += dA_acc
+
+        # ---- dt path -------------------------------------------------------
+        ddtv = ddt_scr[:, :, :Dh]
+        ddtv2 = ddtv.reshape(bb * V, Dh)
+        # dtv = dt_part @ wdt + dtb2: the wrapper's 2*dt_bias transform carries
+        # its own factor under autodiff — this is d/d(dtb2) only
+        ddtb_ref[...] += jnp.sum(ddtv2, axis=0, keepdims=True)
+        dwdt_ref[...] += _dot_tt(dt_part.reshape(bb * V, R), ddtv2, dt)
+        ddt_part = _dot_t(ddtv2, wdt_ref[...], dt).reshape(bb, V, R)
+
+        # ---- x_dbl path ----------------------------------------------------
+        ddbl = jnp.concatenate([ddt_part, dB_scr[...], dC_scr[...]], axis=-1)
+        ddbl2 = ddbl.reshape(bb * V, R + 2 * N)
+        dwdbl_ref[...] += _dot_tt(x.reshape(bb * V, Dh), ddbl2, dt)
+        dx_total = dy * dskip_ref[0][None, None, :] + dxs_scr[:, :, :Dh] \
+            + _dot_t(ddbl2, wdbl_ref[...], dt).reshape(bb, V, Dh)
+
+        # ---- SiLU + conv + in_proj transpose -------------------------------
+        ds = jnp.concatenate([dx_total, dz], axis=-1)    # (bb, V, C)
+        du_conv = ds * _silu_grad(u)
+        # pad_scr still holds [0 | xz | 0] from _pre_scan's conv
+        dwconv_ref[...] += _conv3_tap_grads(pad_scr, du_conv, V)
+        dxz = _same_conv3(pad_scr, du_conv, wconv_ref[...], V, transpose=True)
+        dxz2 = dxz.reshape(bb * V, C)
+        dwxz_ref[...] += _dot_tt(x_in.reshape(bb * V, C), dxz2, dt)
+        dx_ref[...] = _dot_t(dxz2, wxz_ref[...], dt) \
+            .reshape(bb, V, C).astype(dx_ref.dtype)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------- #
+# Host wrappers
+# --------------------------------------------------------------------------- #
+
+def _chunk_at(AT, Dc: int, n_j: int):
+    """(N, Dh) -> (n_j, 8, N*Dc), chunk-j n-major rows, broadcast sublanes."""
+    N, Dh = AT.shape
+    pad = n_j * Dc - Dh
+    a = jnp.pad(AT.astype(jnp.float32), ((0, 0), (0, pad)))
+    a = a.reshape(N, n_j, Dc).transpose(1, 0, 2).reshape(n_j, 1, N * Dc)
+    return jnp.broadcast_to(a, (n_j, 8, N * Dc))
+
+
+def _shapes(x, wdbl, N):
+    BW, V, C = x.shape
+    Dh = C // 2
+    R = wdbl.shape[1] - 2 * N
+    Dc = _pick_chunk(N, Dh)
+    n_j = -(-Dh // Dc)
+    return BW, V, C, Dh, R, Dc, n_j
+
+
+def _weight_specs(C, Dh, R, N, nd, n_j):
+    return [
+        pl.BlockSpec((C, C), lambda i: (0, 0)),
+        pl.BlockSpec((3, C), lambda i: (0, 0)),
+        pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
+        pl.BlockSpec((R, Dh), lambda i: (0, 0)),
+        pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+        pl.BlockSpec((n_j, 8, nd), lambda i: (0, 0, 0)),
+        pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+        pl.BlockSpec((C, C), lambda i: (0, 0)),
+    ]
+
+
+def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
+    BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
+    nd = N * Dc
+    dt = x.dtype
+    bb = _pick_bb(V, C, N, n_j, Dc, bwd=False)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    E, _ = _expand_reduce(N, Dc)
+    Fn = _reduce_over_n(N, Dc)
+
+    out = pl.pallas_call(
+        _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt),
+        grid=((BW + pad) // bb,),
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + _weight_specs(C, Dh, R, N, nd, n_j)
+        + [
+            pl.BlockSpec((N, nd), lambda i: (0, 0)),
+            pl.BlockSpec((nd, Dc), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, E, Fn)
+    return out[:BW]
+
+
+def _bwd(N, res, do):
+    x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout = res
+    BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
+    nd = N * Dc
+    dt = x.dtype
+    bb = _pick_bb(V, C, N, n_j, Dc, bwd=True)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
+    E, Fr = _expand_reduce(N, Dc)
+    Fn = _reduce_over_n(N, Dc)
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt),
+        grid=((BW + pad) // bb,),
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + _weight_specs(C, Dh, R, N, nd, n_j)
+        + [
+            pl.BlockSpec((N, nd), lambda i: (0, 0)),
+            pl.BlockSpec((nd, Dc), lambda i: (0, 0)),
+            pl.BlockSpec((nd, N), lambda i: (0, 0)),
+            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((3, C), lambda i: (0, 0)),
+            pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
+            pl.BlockSpec((R, Dh), lambda i: (0, 0)),
+            pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+            pl.BlockSpec((n_j, 8, nd), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((3, C), jnp.float32),
+            jax.ShapeDtypeStruct((Dh, R + 2 * N), jnp.float32),
+            jax.ShapeDtypeStruct((R, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((1, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, 8, nd), jnp.float32),
+            jax.ShapeDtypeStruct((1, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * nd), jnp.float32),
+            pltpu.VMEM((bb, nd), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, N), jnp.float32),
+            pltpu.VMEM((bb, V, N), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, E, Fn, Fr, dop)
+
+    (dx, dwxz, dwconv, dwdbl, dwdt, ddtb, dat, ddskip, dwout) = outs
+    return (dx[:BW], dwxz.astype(wxz.dtype), dwconv,
+            dwdbl.astype(wdbl.dtype), dwdt.astype(wdt.dtype), ddtb, dat,
+            ddskip, dwout.astype(wout.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _mixer_core(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
+    return _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N)
+
+
+def _fwd_rule(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
+    out = _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N)
+    return out, (x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout)
+
+
+_mixer_core.defvjp(_fwd_rule, _bwd)
+
+
+def mamba_window_mixer(x, w_xz, w_conv_x, w_conv_z, w_dbl, w_dt, dt_bias,
+                       A, D, w_out, d_state: int):
+    """Fused MambaVision window mixer.
+
+    Args:
+      x: (BW, V, C) windowed tokens, 16 <= V <= 64, V % 8 == 0.
+      w_xz: (C, C) in_proj (expand=1, no bias).
+      w_conv_x / w_conv_z: (C/2, 3) depthwise 'same' conv branches (no bias).
+      w_dbl: (C/2, R + 2*d_state) x_proj (no bias).
+      w_dt: (R, C/2); dt_bias: (C/2,) — applied twice (ref quirk: dt_proj
+        bias AND selective_scan delta_bias).
+      A: (C/2, d_state) negative decay matrix; D: (C/2,) skip.
+      w_out: (C, C) out_proj (no bias).
+
+    Returns (BW, V, C) in x.dtype.
+    """
+    Dh = x.shape[-1] // 2
+    Dc = _pick_chunk(d_state, Dh)
+    n_j = -(-Dh // Dc)
+    # conv taps row-major (3, C): tap[j] applies to x[t-1+j]
+    wconv = jnp.concatenate([w_conv_x, w_conv_z], axis=0).astype(jnp.float32).T
+    at_chunks = _chunk_at(A.astype(jnp.float32).T, Dc, n_j)
+    dtb2 = 2.0 * dt_bias.astype(jnp.float32)[None, :]
+    return _mixer_core(x, w_xz, wconv, w_dbl, w_dt, dtb2, at_chunks,
+                       D.astype(jnp.float32)[None, :], w_out, d_state)

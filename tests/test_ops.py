@@ -306,3 +306,84 @@ def test_hyena_window_fused_parity(rng):
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_fused_mlp_parity(rng):
+    """Fused Pallas MLP == Dense/gelu/Dense (fp32, interpret on CPU)."""
+    from long_context_biomedical_imaging_tpu.ops.fused_mlp import fused_mlp
+
+    N, C, H = 48, 24, 96
+
+    def mk(shape, scale=0.5):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x, w1, b1, w2, b2 = mk((N, C), 1.0), mk((C, H)), mk((H,)), mk((H, C)), mk((C,))
+
+    def composed(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        return h @ w2 + b2
+
+    np.testing.assert_allclose(np.asarray(fused_mlp(x, w1, b1, w2, b2)),
+                               np.asarray(composed(x, w1, b1, w2, b2)),
+                               rtol=2e-5, atol=2e-5)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_mlp(*a) ** 2), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2)
+    gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_mamba_window_fused_parity(rng):
+    """Fused Pallas mamba mixer == composed in_proj/conv/x_proj/scan/out_proj
+    (fp32; interpret mode on the CPU mesh)."""
+    from long_context_biomedical_imaging_tpu.ops.conv import depthwise_conv1d_cm
+    from long_context_biomedical_imaging_tpu.ops.mamba_window import (
+        mamba_window_mixer, mamba_window_supported)
+    from long_context_biomedical_imaging_tpu.ops.selective_scan import (
+        selective_scan_cm)
+
+    assert mamba_window_supported(16) and not mamba_window_supported(512)
+    assert not mamba_window_supported(8)   # conv scratch margin needs V >= 16
+
+    BW, V, C, N = 16, 16, 24, 4
+    Dh, R = C // 2, 3
+
+    def mk(shape, scale=0.3):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((BW, V, C), 1.0)
+    w_xz, wx, wz = mk((C, C)), mk((Dh, 3)), mk((Dh, 3))
+    w_dbl, w_dt = mk((Dh, R + 2 * N)), mk((R, Dh))
+    dt_bias = mk((Dh,), 0.1)
+    A = -jnp.exp(mk((Dh, N)))
+    D = mk((Dh,), 1.0)
+    w_out = mk((C, C))
+    args = (x, w_xz, wx, wz, w_dbl, w_dt, dt_bias, A, D, w_out)
+
+    def composed(x, w_xz, wx, wz, w_dbl, w_dt, dt_bias, A, D, w_out):
+        xz = (x.reshape(-1, C) @ w_xz).reshape(BW, V, C)
+        xz = jax.nn.silu(depthwise_conv1d_cm(
+            xz, jnp.concatenate([wx, wz], axis=0), None, "same"))
+        xs, z = xz[..., :Dh], xz[..., Dh:]
+        dbl = (xs.reshape(-1, Dh) @ w_dbl).reshape(BW, V, R + 2 * N)
+        dt = (dbl[..., :R] @ w_dt) + dt_bias
+        y = selective_scan_cm(xs, dt, A, dbl[..., R:R + N], dbl[..., R + N:],
+                              D, delta_bias=dt_bias, delta_softplus=True)
+        yz = jnp.concatenate([y, z], axis=-1)
+        return (yz.reshape(-1, C) @ w_out).reshape(BW, V, C)
+
+    out_f = mamba_window_mixer(*args, d_state=N)
+    out_c = composed(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=3e-5, atol=3e-5)
+
+    gf = jax.grad(lambda *a: jnp.sum(mamba_window_mixer(*a, d_state=N) ** 2),
+                  argnums=tuple(range(10)))(*args)
+    gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
+                  argnums=tuple(range(10)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
