@@ -26,9 +26,11 @@ import numpy as np
 
 from ..ops import (compute_shift_regions, get_window_size,
                    relative_position_index, window_partition, window_reverse,
-                   windowed_attention_qkv)
+                   windowed_attention_proj)
 from .hyena import HyenaOperator
-from .layers import MLPBlock, PatchEmbed, TorchDense, parameterless_layer_norm, trunc_normal_init
+from .layers import (MLPBlock, PatchEmbed, TorchDense, fan_in_bias_init,
+                     parameterless_layer_norm, torch_linear_kernel_init,
+                     trunc_normal_init)
 from .mamba import MambaVisionMixer
 
 HYENA_L_MAX = 66000  # ref: backbone_swin.py:317
@@ -68,8 +70,18 @@ class WindowAttention(nn.Module):
         rel = table[index.reshape(-1)].reshape(n, n, self.num_heads)
         rel = rel.transpose(2, 0, 1)                      # (H, V, V)
 
-        qkv = TorchDense(3 * self.dim, use_bias=self.qkv_bias)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)  # kernel layout
+        # qkv/out projection params declared directly (torch nn.Linear
+        # defaults): the fused kernel computes both projections in VMEM —
+        # keeping them outside left 4x-padded (T, 32) qkv tensors and
+        # 128x-padded (T, 1) softmax stats in the gradient residual set,
+        # which OOM'd HBM at the 1024^2 ptx geometry.
+        wqkv = self.param("qkv_kernel", torch_linear_kernel_init,
+                          (self.dim, 3 * self.dim))
+        bqkv = self.param("qkv_bias_p", fan_in_bias_init(self.dim),
+                          (3 * self.dim,)) if self.qkv_bias else None
+        wout = self.param("proj_kernel", torch_linear_kernel_init,
+                          (self.dim, self.dim))
+        bout = self.param("proj_bias", fan_in_bias_init(self.dim), (self.dim,))
         if mask is not None:
             # mask carries per-token pre-shift region ids (nW, V);
             # window_partition flattens batch as (B, nW) windows-fastest
@@ -77,13 +89,8 @@ class WindowAttention(nn.Module):
             rid = jnp.tile(mask, (b // mask.shape[0], 1))
         else:
             rid = None
-        # Fused Pallas windowed attention: groups windows into MXU-sized
-        # sequences, block-diag rel bias + in-kernel region mask; no HBM
-        # score/bias materialization and no layout transposes — the kernel
-        # reads the Dense output directly (ops/window_attention.py).
-        out = windowed_attention_qkv(qkv, rel, rid=rid)
-        out = out.reshape(b, n, c)
-        out = TorchDense(self.dim)(out)
+        out = windowed_attention_proj(x, wqkv, bqkv, wout, bout, rel,
+                                      heads=self.num_heads, rid=rid)
         return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 
 

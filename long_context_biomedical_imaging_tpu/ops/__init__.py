@@ -8,7 +8,7 @@ from .selective_scan import (selective_scan, selective_scan_auto,
 from .window import (compute_shift_mask, compute_shift_regions, get_window_size,
                      pad_to_window_multiple, relative_position_index,
                      window_partition, window_reverse)
-from .window_attention import windowed_attention, windowed_attention_qkv
+from .window_attention import windowed_attention_proj
 
 __all__ = [
     "attention_reference", "multi_head_attention", "flash_attention",
@@ -18,5 +18,5 @@ __all__ = [
     "selective_scan_chunked", "selective_scan_reference", "window_partition",
     "window_reverse", "compute_shift_mask", "get_window_size",
     "relative_position_index", "pad_to_window_multiple",
-    "compute_shift_regions", "windowed_attention", "windowed_attention_qkv",
+    "compute_shift_regions", "windowed_attention_proj",
 ]

@@ -1,39 +1,33 @@
-"""Fused Pallas windowed attention with relative-position bias + shift mask.
+"""Fused Pallas windowed attention with in-kernel qkv/out projections.
 
 The Swin hot op (ref: model/models/backbone_swin.py:227-367): thousands of
 tiny V-token windows (V = 16..512) attend independently with a per-head
 relative-position bias and, on shifted blocks, an additive region mask.
 
-TPU-first design (replaces the round-1 grouped XLA path, which materialized
-(G*V)^2 fp32 score and block-diagonal bias tensors in HBM every layer):
+TPU-first design, round 3 of this kernel. Round 1 materialized (G*V)^2 score
+tensors in HBM; round 2 fused the attention math but kept the qkv projection
+outside — and its (S, 3, H, T, 32) operand layout padded 4x on the 32-wide
+head dim, the (S, H, T, 1) lse/delta residuals padded 128x, and the gradient
+residual set OOM'd HBM at the ptx 1024^2 geometry. This version folds the qkv
+and output projections INTO the kernel:
 
-  * G consecutive windows fuse into one G*V-token sequence so the score
-    matmul runs on MXU-sized tiles; cross-window positions are killed by a
-    block-diagonal bias. G*V <= 512 fits one VMEM block, so softmax is a
-    single-block reduction — no online statistics, no HBM score traffic.
-  * One qkv transpose to (bs, 3, H, T, Dh) and one output transpose at the
-    XLA level — Mosaic only supports leading-dim ref slicing, so (T, Dh) must
-    be the trailing dims of every block. All heads live in one cell (Pallas
-    requires full-size last-two block dims) and the kernel unrolls over
-    (sequence, head); no q/k/v splits, score or bias HBM tensors remain.
-  * Each grid cell processes `seq_block` sequences, sized against a VMEM
-    budget: the per-invocation Pallas overhead (~1 us) otherwise dominates
-    these tiny matmuls (measured: 29k cells x 1.2 us ≈ 35 ms/step).
-  * The relative-position bias is passed ONCE as an (H, G*V, G*V)
-    block-diagonal tile with a constant index map — Pallas keeps it
-    VMEM-resident across the whole grid sweep.
-  * The shift mask is NOT materialized per window. Each token carries an int32
-    pre-shift region id (ops/window.py:compute_shift_regions); the kernel
-    rebuilds the mask as `rid_q != rid_k ? -100 : 0` with a broadcast compare
-    (two rid layouts avoid an in-kernel transpose). mask_value -100 matches
-    the reference (backbone_swin.py:591-628).
-  * Backward is ONE kernel per sequence-block: recompute p from the saved
-    logsumexp, then dq/dk/dv (written back in qkv layout) plus the bias
-    gradient, accumulated in the VMEM-resident drel output block.
-
-Grouping needs no divisibility from the model: any consecutive windows (even
-across images) can share a sequence, and the window batch is padded to a
-multiple of G*seq_block with rows that are sliced away afterwards.
+  * kernel input is the windowed token tensor x (S, T, C) — dense lanes, no
+    head-dim padding anywhere in HBM; the only residuals are x and out.
+  * qkv = x @ Wqkv + b is computed per sequence block in VMEM; per-head
+    (T, D) tiles are lane slices of the VMEM value.
+  * out = sum_h o_h @ Wout[hD:(h+1)D, :] + b accumulates the output
+    projection in-kernel — no concat, no (T, D)-layout output.
+  * softmax statistics are NOT saved: T <= 512 fits one block, so the
+    backward recomputes s -> m, l exactly (base-2 softmax; bias pre-scaled).
+  * the shift mask is rebuilt in-kernel from per-token region ids passed
+    ONLY in the dense (S, 1, T) layout; the (T, T) same-region matrix comes
+    from a one-hot MXU matmul (region ids are small ints; R = 32 covers the
+    3^3 shift regions), so no (S, T, 1) 128x-padded operand exists.
+  * G consecutive windows fuse into one G*V-token sequence via a
+    block-diagonal bias (rel on the diagonal, NEG_INF off it) — grouping
+    needs no divisibility; padded rows are sliced away.
+  * weight/bias/rel gradients accumulate across the sequential grid in
+    VMEM-resident output blocks.
 """
 
 from __future__ import annotations
@@ -51,16 +45,16 @@ NEG_INF = -1e9
 _LOG2E = math.log2(math.e)
 MAX_TOKENS = 512     # single-block ceiling; larger windows take the XLA path
 _LANES = 128
-_VMEM_BUDGET = 12 * 1024 * 1024   # qkv/do/out/dqkv block bytes per cell
+_RID_RANGE = 32      # one-hot width for region ids (3 regions per axis -> 27)
+_VMEM_BUDGET = 10 * 1024 * 1024
 _MAX_UNROLL = 32                  # seq_block * H unrolled iterations cap
 
 
 def _compiler_params():
-    """Mosaic allocates each unrolled iteration's score/softmax temporaries in
-    a separate VMEM stack slot (~1MB per iteration at T=256); the default 16MB
-    scoped-vmem limit trips first, so raise it (v5e has 128MB VMEM). Lazy:
-    jax.default_backend() at import time would initialize the XLA backend
-    before jax.distributed.initialize can run."""
+    """Per-iteration softmax temporaries overflow the default 16MB scoped
+    VMEM; raise the cap (v5e has 128MB). Lazy: jax.default_backend() at
+    import time would initialize the XLA backend before
+    jax.distributed.initialize can run."""
     if jax.default_backend() == "cpu":
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -82,40 +76,64 @@ def pick_group(v: int) -> int:
     return g
 
 
-def pick_seq_block(t: int, h: int, d: int, itemsize: int) -> int:
+def pick_seq_block(t: int, c: int, h: int, itemsize: int) -> int:
     """Sequences per grid cell: amortize the ~1us invocation overhead without
-    blowing VMEM (4 qkv-sized blocks per cell in the backward) or the unroll."""
+    blowing VMEM (x/out blocks + the fp32 qkv/score working set) or the
+    per-head unroll."""
     if _interpret():
         return 1          # unrolled loops are pure overhead in interpret mode
-    per_seq = 4 * t * 3 * h * d * itemsize
+    per_seq = t * (3 * c + 2 * c) * 4 + 3 * t * t * 4
     sb = 1
     while (sb * 2 * per_seq <= _VMEM_BUDGET and sb * 2 * h <= _MAX_UNROLL):
         sb *= 2
     return sb
 
 
+def _rmask2(rid_row, t: int, mask_value: float):
+    """(T, T) additive region mask (base-2 pre-scaled) from a (1, T) id row.
+
+    same[q, k] = any_r (rid[q]==r and rid[k]==r), via a one-hot MXU matmul —
+    avoids a (T, 1)-layout operand (128x lane padding in HBM) and an
+    in-kernel transpose."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (_RID_RANGE, t), 0)
+    oh = (iota == rid_row).astype(jnp.bfloat16)            # (R, T)
+    same = jax.lax.dot_general(oh, oh, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jnp.where(same > 0.5, 0.0, mask_value * _LOG2E)
+
+
 # --------------------------------------------------------------------------- #
-# Kernels.  Blocks: qkv (S, 3, H, T, D) | out/do (S, H, T, D) |
-#           rel/drel (H, T, T) | ridq (S, T, 1) | ridk (S, 1, T) |
-#           lse/delta (S, H, T, 1).  Refs are sliced on LEADING dims only —
-#           middle-dim slicing forces vector shape casts Mosaic rejects.
+# Kernels.  Blocks: x/out/do (S, T, C) | rel/drel (H, T, T) | rid (S, 1, T) |
+#           wqkv (C, 3C) | bqkv (1, 3C) | wout (C, C) | bout (1, C).
 # --------------------------------------------------------------------------- #
 
-def _fwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, o_ref, lse_ref, *,
-                scale: float, mask_value: float, use_rid: bool,
-                seq_block: int, heads: int):
-    # base-2 softmax: rel/mask arrive pre-scaled by log2(e), scale*log2(e)
-    # folds into the (T, D) q tile — the (T, T) score tile pays one exp2 and
-    # no separate scale multiply (the kernels are VPU-bound at head_dim 32).
+def _qkv_head(qkv2, h, D, C):
+    q = qkv2[:, h * D:(h + 1) * D]
+    k = qkv2[:, C + h * D:C + (h + 1) * D]
+    v = qkv2[:, 2 * C + h * D:2 * C + (h + 1) * D]
+    return q, k, v
+
+
+def _fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, rel_ref,
+                rid_ref, o_ref, *, scale: float, mask_value: float,
+                use_rid: bool, seq_block: int, heads: int):
+    # base-2 softmax: rel/mask are pre-scaled by log2(e); scale*log2(e) folds
+    # into the q tile so the (T, T) score tile pays one exp2 only.
     scale2 = scale * _LOG2E
+    T, C = x_ref.shape[1], x_ref.shape[2]
+    D = C // heads
+    dt = x_ref.dtype
     for i in range(seq_block):
-        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value * _LOG2E, 0.0)
-                 if use_rid else None)
+        x = x_ref[i]                                       # (T, C)
+        qkv2 = jax.lax.dot_general(x, wqkv_ref[...].astype(dt),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) \
+            + bqkv_ref[0][None, :]
+        rmask = _rmask2(rid_ref[i], T, mask_value) if use_rid else None
+        acc = bout_ref[0][None, :] * jnp.ones((T, 1), jnp.float32)
         for h in range(heads):
-            q = (qkv_ref[i, 0, h].astype(jnp.float32) * scale2)  # (T, D)
-            k = qkv_ref[i, 1, h]
-            v = qkv_ref[i, 2, h]
-            s = jax.lax.dot_general(q.astype(k.dtype), k,
+            q, k, v = _qkv_head(qkv2, h, D, C)
+            s = jax.lax.dot_general((q * scale2).astype(dt), k.astype(dt),
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + rel_ref[h]
@@ -124,141 +142,182 @@ def _fwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, o_ref, lse_ref, *,
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot_general((p / l).astype(v.dtype), v,
+            o = jax.lax.dot_general((p / l).astype(dt), v.astype(dt),
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            o_ref[i, h] = o.astype(o_ref.dtype)
-            lse_ref[i, h] = m + jnp.log2(l)           # (T, 1), base-2 units
+            # fold the output projection: out += o_h @ Wout[hD:(h+1)D, :]
+            acc = acc + jax.lax.dot_general(
+                o.astype(dt), wout_ref[h * D:(h + 1) * D, :].astype(dt),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[i] = acc.astype(o_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, rel_ref, ridq_ref, ridk_ref, do_ref, lse_ref,
-                delta_ref, dqkv_ref, drel_ref, *, scale: float,
-                mask_value: float, use_rid: bool, seq_block: int, heads: int):
+def _bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, rel_ref, rid_ref, g_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, drel_ref,
+                *, scale: float, mask_value: float, use_rid: bool,
+                seq_block: int, heads: int):
     ib = pl.program_id(0)
 
     @pl.when(ib == 0)
     def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
         drel_ref[...] = jnp.zeros_like(drel_ref)
 
     scale2 = scale * _LOG2E
+    T, C = x_ref.shape[1], x_ref.shape[2]
+    D = C // heads
+    dt = x_ref.dtype
     for i in range(seq_block):
-        rmask = (jnp.where(ridq_ref[i] != ridk_ref[i], mask_value * _LOG2E, 0.0)
-                 if use_rid else None)
+        x = x_ref[i]
+        qkv2 = jax.lax.dot_general(x, wqkv_ref[...].astype(dt),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) \
+            + bqkv_ref[0][None, :]
+        rmask = _rmask2(rid_ref[i], T, mask_value) if use_rid else None
+        dout = g_ref[i].astype(jnp.float32)                # (T, C)
+        dbout_ref[...] += jnp.sum(dout, axis=0, keepdims=True)
+
+        dparts = []
         for h in range(heads):
-            q = qkv_ref[i, 0, h]
-            k = qkv_ref[i, 1, h]
-            v = qkv_ref[i, 2, h]
-            q2 = (q.astype(jnp.float32) * scale2).astype(k.dtype)
-            s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
+            q, k, v = _qkv_head(qkv2, h, D, C)
+            s = jax.lax.dot_general((q * scale2).astype(dt), k.astype(dt),
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + rel_ref[h]
             if rmask is not None:
                 s = s + rmask
-            p = jnp.exp2(s - lse_ref[i, h])           # lse block is (T, 1)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp2(s - m)
+            pn = e / jnp.sum(e, axis=1, keepdims=True)     # softmax (T, T)
 
-            do = do_ref[i, h]                          # (T, D)
-            dv = jax.lax.dot_general(p.astype(do.dtype), do,
+            o = jax.lax.dot_general(pn.astype(dt), v.astype(dt),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            wo_h = wout_ref[h * D:(h + 1) * D, :]
+            dwout_ref[h * D:(h + 1) * D, :] += jax.lax.dot_general(
+                o.astype(dt), dout.astype(dt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            do = jax.lax.dot_general(dout.astype(dt), wo_h.astype(dt),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+            dv = jax.lax.dot_general(pn.astype(dt), do.astype(dt),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+            dp = jax.lax.dot_general(do.astype(dt), v.astype(dt),
+                                     (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - delta_ref[i, h])            # delta block is (T, 1)
-            dq = jax.lax.dot_general(ds.astype(k.dtype), k,
+            delta = jnp.sum(dp * pn, axis=1, keepdims=True)
+            ds = pn * (dp - delta)
+            dq = jax.lax.dot_general(ds.astype(dt), k.astype(dt),
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(ds.astype(q.dtype), q,
+            dk = jax.lax.dot_general(ds.astype(dt), q.astype(dt),
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) * scale
-            dqkv_ref[i, 0, h] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[i, 1, h] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[i, 2, h] = dv.astype(dqkv_ref.dtype)
-            # d(bias) = ds, summed over every sequence; the drel block stays
-            # VMEM-resident across the whole grid sweep.
             drel_ref[h] += ds
+            dparts.append((dq, dk, dv))
+
+        dqkv2 = jnp.concatenate(
+            [d[0] for d in dparts] + [d[1] for d in dparts]
+            + [d[2] for d in dparts], axis=1)              # (T, 3C)
+        dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            x.astype(dt), dqkv2.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[i] = jax.lax.dot_general(
+            dqkv2.astype(dt), wqkv_ref[...].astype(dt),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 # --------------------------------------------------------------------------- #
 # pallas_call wrappers (inputs already grouped/padded: T = padded G*V)
 # --------------------------------------------------------------------------- #
 
-def _specs(t, d, h, sb):
-    qkv_spec = pl.BlockSpec((sb, 3, h, t, d), lambda ib: (ib, 0, 0, 0, 0))
-    out_spec = pl.BlockSpec((sb, h, t, d), lambda ib: (ib, 0, 0, 0))
+def _specs(t, c, h, sb):
+    x_spec = pl.BlockSpec((sb, t, c), lambda ib: (ib, 0, 0))
     rel_spec = pl.BlockSpec((h, t, t), lambda ib: (0, 0, 0))
-    ridq_spec = pl.BlockSpec((sb, t, 1), lambda ib: (ib, 0, 0))
-    ridk_spec = pl.BlockSpec((sb, 1, t), lambda ib: (ib, 0, 0))
-    lse_spec = pl.BlockSpec((sb, h, t, 1), lambda ib: (ib, 0, 0, 0))
-    return qkv_spec, out_spec, rel_spec, ridq_spec, ridk_spec, lse_spec
+    rid_spec = pl.BlockSpec((sb, 1, t), lambda ib: (ib, 0, 0))
+    w3_spec = pl.BlockSpec((c, 3 * c), lambda ib: (0, 0))
+    b3_spec = pl.BlockSpec((1, 3 * c), lambda ib: (0, 0))
+    wo_spec = pl.BlockSpec((c, c), lambda ib: (0, 0))
+    bo_spec = pl.BlockSpec((1, c), lambda ib: (0, 0))
+    return x_spec, rel_spec, rid_spec, w3_spec, b3_spec, wo_spec, bo_spec
 
 
-def _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
-    bs, _, h, t, d = qkv.shape
+def _call_fwd(x, wqkv, bqkv, wout, bout, rel, rid, scale, mask_value,
+              use_rid, heads, sb):
+    bs, t, c = x.shape
     rel = rel * _LOG2E        # kernels run a base-2 softmax; bias pre-scaled
     kernel = functools.partial(_fwd_kernel, scale=scale, mask_value=mask_value,
-                               use_rid=use_rid, seq_block=sb, heads=h)
-    qkv_s, out_s, rel_s, ridq_s, ridk_s, lse_s = _specs(t, d, h, sb)
-    out, lse = pl.pallas_call(
+                               use_rid=use_rid, seq_block=sb, heads=heads)
+    x_s, rel_s, rid_s, w3_s, b3_s, wo_s, bo_s = _specs(t, c, heads, sb)
+    return pl.pallas_call(
         kernel,
         grid=(bs // sb,),
-        in_specs=[qkv_s, rel_s, ridq_s, ridk_s],
-        out_specs=[out_s, lse_s],
-        out_shape=[
-            jax.ShapeDtypeStruct((bs, h, t, d), qkv.dtype),
-            jax.ShapeDtypeStruct((bs, h, t, 1), jnp.float32),
-        ],
+        in_specs=[x_s, w3_s, b3_s, wo_s, bo_s, rel_s, rid_s],
+        out_specs=x_s,
+        out_shape=jax.ShapeDtypeStruct((bs, t, c), x.dtype),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(qkv, rel, ridq, ridk)
-    return out, lse
+    )(x, wqkv, bqkv, wout, bout, rel, rid)
 
 
-def _call_bwd(qkv, rel, ridq, ridk, do, lse, delta, scale, mask_value,
-              use_rid, sb):
-    bs, _, h, t, d = qkv.shape
+def _call_bwd(x, wqkv, bqkv, wout, rel, rid, do, scale, mask_value,
+              use_rid, heads, sb):
+    bs, t, c = x.shape
     rel = rel * _LOG2E        # base-2 scores; drel output stays natural (= ds)
     kernel = functools.partial(_bwd_kernel, scale=scale, mask_value=mask_value,
-                               use_rid=use_rid, seq_block=sb, heads=h)
-    qkv_s, out_s, rel_s, ridq_s, ridk_s, lse_s = _specs(t, d, h, sb)
-    dqkv, drel = pl.pallas_call(
+                               use_rid=use_rid, seq_block=sb, heads=heads)
+    x_s, rel_s, rid_s, w3_s, b3_s, wo_s, bo_s = _specs(t, c, heads, sb)
+    return pl.pallas_call(
         kernel,
         grid=(bs // sb,),
-        in_specs=[qkv_s, rel_s, ridq_s, ridk_s, out_s, lse_s, lse_s],
-        out_specs=[qkv_s, rel_s],
+        in_specs=[x_s, w3_s, b3_s, wo_s, rel_s, rid_s, x_s],
+        out_specs=[x_s, w3_s, b3_s, wo_s, bo_s, rel_s],
         out_shape=[
-            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
-            jax.ShapeDtypeStruct((h, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((bs, t, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((heads, t, t), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(qkv, rel, ridq, ridk, do, lse, delta)
-    return dqkv, drel
+    )(x, wqkv, bqkv, wout, rel, rid, do)
 
 
 # --------------------------------------------------------------------------- #
 # custom VJP over the grouped/padded core
 # --------------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _core(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
-    out, _ = _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb)
-    return out
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _core(x, wqkv, bqkv, wout, bout, rel, rid, scale, mask_value, use_rid,
+          heads, sb):
+    return _call_fwd(x, wqkv, bqkv, wout, bout, rel, rid, scale, mask_value,
+                     use_rid, heads, sb)
 
 
-def _core_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb):
-    out, lse = _call_fwd(qkv, rel, ridq, ridk, scale, mask_value, use_rid, sb)
-    return out, (qkv, rel, ridq, ridk, out, lse)
+def _core_fwd(x, wqkv, bqkv, wout, bout, rel, rid, scale, mask_value,
+              use_rid, heads, sb):
+    out = _call_fwd(x, wqkv, bqkv, wout, bout, rel, rid, scale, mask_value,
+                    use_rid, heads, sb)
+    return out, (x, wqkv, bqkv, wout, rel, rid)
 
 
-def _core_bwd(scale, mask_value, use_rid, sb, res, do):
-    qkv, rel, ridq, ridk, out, lse = res
-    # do/out are already (bs, h, t, d)
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1, keepdims=True)           # (bs, h, t, 1)
-    dqkv, drel = _call_bwd(qkv, rel, ridq, ridk, do, lse, delta,
-                           scale, mask_value, use_rid, sb)
-    zq = np.zeros(ridq.shape, jax.dtypes.float0)
-    zk = np.zeros(ridk.shape, jax.dtypes.float0)
-    return dqkv, drel, zq, zk
+def _core_bwd(scale, mask_value, use_rid, heads, sb, res, do):
+    x, wqkv, bqkv, wout, rel, rid = res
+    dx, dwqkv, dbqkv, dwout, dbout, drel = _call_bwd(
+        x, wqkv, bqkv, wout, rel, rid, do, scale, mask_value, use_rid,
+        heads, sb)
+    zr = np.zeros(rid.shape, jax.dtypes.float0)
+    # cotangent shapes must match the (1, .) primal bias layouts exactly
+    return dx, dwqkv, dbqkv, dwout, dbout, drel, zr
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -268,41 +327,45 @@ _core.defvjp(_core_fwd, _core_bwd)
 # Public API
 # --------------------------------------------------------------------------- #
 
-def windowed_attention_qkv(qkv, rel, rid=None, mask_value: float = -100.0,
-                           scale: float | None = None, group: int | None = None):
-    """Per-window attention, qkv in the Dense-projection layout.
+def windowed_attention_proj(x, wqkv, bqkv, wout, bout, rel, heads: int,
+                            rid=None, mask_value: float = -100.0,
+                            scale: float | None = None,
+                            group: int | None = None):
+    """Per-window attention with fused qkv/out projections.
 
     Args:
-      qkv: (BW, V, 3, H, D) — window batch, window volume, q/k/v, heads, head
-        dim (i.e. the qkv Dense output reshaped, no transposes).
+      x: (BW, V, C) windowed tokens.
+      wqkv: (C, 3C); bqkv: (3C,) or None; wout: (C, C); bout: (C,) or None.
       rel: (H, V, V) fp32 relative-position bias (trainable; gradient flows).
-      rid: optional (BW, V) int32 pre-shift region ids; tokens in different
-        regions get `mask_value` added to their score (the Swin shift mask,
-        ref backbone_swin.py:591-628).
+      heads: H (C % H == 0; head dim D = C/H).
+      rid: optional (BW, V) int32 pre-shift region ids in [0, 32); tokens in
+        different regions get `mask_value` added to their score (the Swin
+        shift mask, ref backbone_swin.py:591-628).
       group: windows fused per kernel sequence (default: pick_group(V)).
 
-    Returns (BW, V, H, D) in qkv.dtype. Falls back to the XLA path when the
-    fused sequence would exceed the single-block ceiling.
+    Returns (BW, V, C) in x.dtype. Falls back to the XLA path when the fused
+    sequence would exceed the single-block ceiling.
     """
-    bw, v_len, _, h, d = qkv.shape
+    bw, v_len, c = x.shape
+    d = c // heads
     if scale is None:
         scale = d ** -0.5
+    bqkv = jnp.zeros((3 * c,), jnp.float32) if bqkv is None else bqkv
+    bout = jnp.zeros((c,), jnp.float32) if bout is None else bout
     g = group if group is not None else pick_group(v_len)
     t = _round_up(g * v_len, _LANES)
     if t > MAX_TOKENS:
-        return _xla_fallback_qkv(qkv, rel, rid, mask_value, scale)
-    sb = pick_seq_block(t, h, d, qkv.dtype.itemsize)
+        return _xla_fallback_proj(x, wqkv, bqkv, wout, bout, rel, heads, rid,
+                                  mask_value, scale)
+    sb = pick_seq_block(t, c, heads, x.dtype.itemsize)
 
     bw_pad = _round_up(bw, g * sb)
     bs = bw_pad // g
 
-    x = qkv
-    if bw_pad != bw:
-        x = jnp.pad(x, ((0, bw_pad - bw),) + ((0, 0),) * 4)
-    x = x.reshape(bs, g * v_len, 3, h, d)             # consecutive windows
+    xg = jnp.pad(x, ((0, bw_pad - bw), (0, 0), (0, 0))) if bw_pad != bw else x
+    xg = xg.reshape(bs, g * v_len, c)                  # consecutive windows
     if t != g * v_len:
-        x = jnp.pad(x, ((0, 0), (0, t - g * v_len)) + ((0, 0),) * 3)
-    x = x.transpose(0, 2, 3, 1, 4)                    # (bs, 3, H, T, D)
+        xg = jnp.pad(xg, ((0, 0), (0, t - g * v_len), (0, 0)))
 
     # Block-diagonal bias tile: rel on the diagonal, NEG_INF elsewhere and in
     # the lane padding. Built in XLA (differentiable -> dtable flows through).
@@ -322,35 +385,25 @@ def windowed_attention_qkv(qkv, rel, rid=None, mask_value: float = -100.0,
             ridg = jnp.pad(ridg, ((0, 0), (0, t - g * v_len)))
     else:
         ridg = jnp.zeros((bs, t), jnp.int32)
-    ridq = ridg[:, :, None]                           # (bs, T, 1)
     ridk = ridg[:, None, :]                           # (bs, 1, T)
 
-    out = _core(x, rel_bd, ridq, ridk, float(scale), float(mask_value),
-                use_rid, sb)                           # (bs, H, T, D)
-    out = out.transpose(0, 2, 1, 3)                    # (bs, T, H, D)
-    out = out[:, :g * v_len].reshape(bw_pad, v_len, h, d)
+    out = _core(xg, wqkv, bqkv.astype(jnp.float32)[None, :], wout,
+                bout.astype(jnp.float32)[None, :], rel_bd, ridk,
+                float(scale), float(mask_value), use_rid, heads, sb)
+    out = out[:, :g * v_len].reshape(bw_pad, v_len, c)
     return out[:bw]
 
 
-def windowed_attention(q, k, v, rel, rid=None, mask_value: float = -100.0,
-                       scale: float | None = None, group: int | None = None):
-    """(BW, H, V, D)-layout wrapper around :func:`windowed_attention_qkv`."""
-    qkv = jnp.stack([q, k, v], axis=2).transpose(0, 3, 2, 1, 4)
-    out = windowed_attention_qkv(qkv, rel, rid=rid, mask_value=mask_value,
-                                 scale=scale, group=group)
-    return out.transpose(0, 2, 1, 3)                   # (BW, H, V, D)
-
-
-def _xla_fallback_qkv(qkv, rel, rid, mask_value, scale):
+def _xla_fallback_proj(x, wqkv, bqkv, wout, bout, rel, heads, rid,
+                       mask_value, scale):
+    """O(V^2) XLA windowed attention for oversized windows (V > 512)."""
+    bw, v_len, c = x.shape
+    d = c // heads
+    qkv = (x.reshape(-1, c) @ wqkv.astype(x.dtype)
+           + bqkv.astype(x.dtype)).reshape(bw, v_len, 3, heads, d)
     q = qkv[:, :, 0].transpose(0, 2, 1, 3)
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    out = _xla_fallback(q, k, v, rel, rid, mask_value, scale)
-    return out.transpose(0, 2, 1, 3)
-
-
-def _xla_fallback(q, k, v, rel, rid, mask_value, scale):
-    """O(V^2) XLA windowed attention (oversized windows / reference check)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     s = s + rel.astype(jnp.float32)[None]
@@ -359,4 +412,7 @@ def _xla_fallback(q, k, v, rel, rid, mask_value, scale):
                       mask_value, 0.0)
         s = s + m
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    o = o.transpose(0, 2, 1, 3).reshape(bw, v_len, c)
+    return (o.reshape(-1, c) @ wout.astype(x.dtype)
+            + bout.astype(x.dtype)).reshape(bw, v_len, c)

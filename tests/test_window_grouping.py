@@ -1,6 +1,7 @@
-"""The fused (grouped, block-diagonal, region-masked) windowed-attention
-kernel must be numerically identical to plain per-window XLA attention with a
-materialized bias, through the full Swin backbone (shifted blocks included)."""
+"""The fused (grouped, block-diagonal, region-masked, projection-fused)
+windowed-attention kernel must be numerically identical to plain per-window
+XLA attention with a materialized bias, through the full Swin backbone
+(shifted blocks included)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +9,22 @@ import numpy as np
 
 import long_context_biomedical_imaging_tpu.models.swin as swin_mod
 from long_context_biomedical_imaging_tpu.models.swin import SwinBackbone
-from long_context_biomedical_imaging_tpu.ops.window_attention import _xla_fallback_qkv
+from long_context_biomedical_imaging_tpu.ops.window_attention import (
+    _xla_fallback_proj)
+
+
+def _plain(x, wqkv, bqkv, wout, bout, rel, heads, rid=None,
+           mask_value=-100.0, scale=None, group=None):
+    c = x.shape[-1]
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * c,), jnp.float32)
+    if bout is None:
+        bout = jnp.zeros((c,), jnp.float32)
+    return _xla_fallback_proj(x, wqkv, bqkv, wout, bout, rel, heads, rid,
+                              mask_value, scale)
 
 
 def test_fused_equals_xla_reference(rng):
@@ -19,18 +35,14 @@ def test_fused_equals_xla_reference(rng):
     variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
     out_fused = model.apply(variables, x, deterministic=True)
 
-    orig = swin_mod.windowed_attention_qkv
+    orig = swin_mod.windowed_attention_proj
     try:
-        def plain(qkv, rel, rid=None, mask_value=-100.0, scale=None,
-                  group=None):
-            if scale is None:
-                scale = qkv.shape[-1] ** -0.5
-            return _xla_fallback_qkv(qkv, rel, rid, mask_value, scale)
-
-        swin_mod.windowed_attention_qkv = plain
+        swin_mod.windowed_attention_proj = \
+            lambda x, wqkv, bqkv, wout, bout, rel, heads, rid=None: \
+            _plain(x, wqkv, bqkv, wout, bout, rel, heads, rid)
         out_plain = model.apply(variables, x, deterministic=True)
     finally:
-        swin_mod.windowed_attention_qkv = orig
+        swin_mod.windowed_attention_proj = orig
 
     for g, p in zip(out_fused, out_plain):
         np.testing.assert_allclose(np.asarray(g), np.asarray(p),
@@ -38,8 +50,8 @@ def test_fused_equals_xla_reference(rng):
 
 
 def test_fused_gradients_match(rng):
-    """Gradients (incl. the relative-position table) through the fused kernel
-    match the XLA reference."""
+    """Gradients (incl. the relative-position table and the in-kernel
+    qkv/out projection weights) through the fused kernel match XLA."""
     x = jnp.asarray(rng.normal(size=(1, 1, 16, 16, 1)).astype(np.float32))
     model = SwinBackbone(patch_size=(2, 2), window_size=(4, 4), in_channels=1,
                          embed_dim=12, depths=(2,), num_heads=(2,))
@@ -51,21 +63,18 @@ def test_fused_gradients_match(rng):
 
     g_fused = jax.grad(loss)(variables["params"])
 
-    orig = swin_mod.windowed_attention_qkv
+    orig = swin_mod.windowed_attention_proj
     try:
-        def plain(qkv, rel, rid=None, mask_value=-100.0, scale=None,
-                  group=None):
-            if scale is None:
-                scale = qkv.shape[-1] ** -0.5
-            return _xla_fallback_qkv(qkv, rel, rid, mask_value, scale)
-
-        swin_mod.windowed_attention_qkv = plain
+        swin_mod.windowed_attention_proj = \
+            lambda x, wqkv, bqkv, wout, bout, rel, heads, rid=None: \
+            _plain(x, wqkv, bqkv, wout, bout, rel, heads, rid)
         g_plain = jax.grad(loss)(variables["params"])
     finally:
-        swin_mod.windowed_attention_qkv = orig
+        swin_mod.windowed_attention_proj = orig
 
     flat_f = jax.tree.leaves(g_fused)
     flat_p = jax.tree.leaves(g_plain)
+    assert len(flat_f) == len(flat_p)
     for a, b in zip(flat_f, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
