@@ -387,3 +387,84 @@ def test_mamba_window_fused_parity(rng):
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_kernel_dispatch():
+    """The fused Pallas mixers must actually engage at the workload shapes
+    (and stay off where the composed paths are faster/required)."""
+    from long_context_biomedical_imaging_tpu.ops.hyena_window import (
+        hyena_window_supported)
+    from long_context_biomedical_imaging_tpu.ops.mamba_window import (
+        mamba_window_supported)
+    from long_context_biomedical_imaging_tpu.ops.window_attention import (
+        MAX_TOKENS, pick_group, _round_up)
+
+    # ptx/micro (w4 -> V=16), vessel/abct (w8/w4-3D -> V=64)
+    for v in (16, 64):
+        assert hyena_window_supported(v)
+        assert mamba_window_supported(v)
+    # cmr/emb windows (V=512) stay on the XLA/FFT paths for the mixers...
+    assert not hyena_window_supported(512)
+    assert not mamba_window_supported(512)
+    # ...but windowed ATTENTION covers V=512 as one T=512 block
+    assert _round_up(pick_group(512) * 512, 128) <= MAX_TOKENS
+    # auto-shrunk degenerate windows fall back to composed
+    assert not hyena_window_supported(1)
+    assert not mamba_window_supported(4)
+
+
+def test_fft_conv_custom_vjp_grads(rng):
+    """The FFT branch's analytic VJP == autodiff through the direct conv."""
+    from long_context_biomedical_imaging_tpu.ops.fftconv import (
+        _DIRECT_CONV_MAX_LEN, fft_causal_conv)
+
+    B, C, L = 3, 5, 48
+    u = jnp.asarray(rng.normal(size=(B, C, L)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(C, L)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.3)
+
+    def naive(u, k, bias):
+        y = jnp.stack([
+            jnp.stack([
+                jnp.convolve(u[b, c], k[c], mode="full")[:L]
+                for c in range(C)]) for b in range(B)])
+        return y + u * bias[None, :, None]
+
+    def loss_fft(u, k, bias):
+        # force the FFT branch regardless of length
+        from long_context_biomedical_imaging_tpu.ops import fftconv
+        y32 = fftconv._fft_conv_core(u, k) + u * bias[None, :, None]
+        return jnp.sum(y32 ** 2)
+
+    def loss_naive(u, k, bias):
+        return jnp.sum(naive(u, k, bias) ** 2)
+
+    np.testing.assert_allclose(float(loss_fft(u, k, bias)),
+                               float(loss_naive(u, k, bias)), rtol=1e-5)
+    gf = jax.grad(loss_fft, argnums=(0, 1, 2))(u, k, bias)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(u, k, bias)
+    for a, b in zip(gf, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_toeplitz_long_conv_matches_fft(rng):
+    """The Toeplitz-matmul mid-length branch == the FFT path (fp32)."""
+    from long_context_biomedical_imaging_tpu.ops.fftconv import (
+        _toeplitz_conv_cm, fft_causal_conv)
+
+    B, L, D = 4, 128, 8
+    u = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(D, L)).astype(np.float32) * 0.2)
+    y_t = _toeplitz_conv_cm(u, k)
+    y_f = fft_causal_conv(u.transpose(0, 2, 1), k).transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_f),
+                               rtol=2e-4, atol=2e-4)
+    gt = jax.grad(lambda u, k: jnp.sum(_toeplitz_conv_cm(u, k) ** 2),
+                  argnums=(0, 1))(u, k)
+    gf = jax.grad(lambda u, k: jnp.sum(
+        fft_causal_conv(u.transpose(0, 2, 1), k).transpose(0, 2, 1) ** 2),
+        argnums=(0, 1))(u, k)
+    for a, b in zip(gt, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
