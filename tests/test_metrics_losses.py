@@ -186,3 +186,38 @@ def test_device_psnr_ssim_match_host(rng):
                               jnp.asarray(valid)))
     want_s = ssim(np.moveaxis(out, -1, 1), np.moveaxis(lab, -1, 1))
     assert abs(got_s - want_s) < 1e-3
+
+
+def test_gaussian_deriv3d_separable_matches_dense(rng):
+    """The separable shift-and-MAC form == the reference's dense 3D conv."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+    from long_context_biomedical_imaging_tpu.losses.enhancement_losses import (
+        _deriv_kernel_3d, gaussian_deriv3d_loss)
+
+    o = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 1)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(2, 6, 10, 12, 1)).astype(np.float32))
+
+    def dense(outputs, targets, sigmas=(0.25, 0.5, 1.0),
+              sigmas_t=(0.25, 0.5, 0.5)):
+        oo, tt = outputs, targets
+        c = oo.shape[-1]
+        total = 0.0
+        for sigma, sigma_t in zip(sigmas, sigmas_t):
+            k = jnp.asarray(_deriv_kernel_3d(float(sigma), float(sigma_t)))
+            kt, kh, kw = k.shape
+            rhs = jnp.broadcast_to(k[:, :, :, None, None], (kt, kh, kw, 1, c))
+            rhs = rhs.transpose(4, 3, 0, 1, 2)
+            pads = [((kk - 1) // 2, kk // 2) for kk in (kt, kh, kw)]
+            conv = functools.partial(
+                lax.conv_general_dilated, window_strides=(1, 1, 1),
+                padding=pads, dimension_numbers=("NDHWC", "OIDHW", "NDHWC"),
+                feature_group_count=c, precision=lax.Precision.HIGHEST)
+            total = total + jnp.mean(jnp.abs(conv(oo, rhs) - conv(tt, rhs)),
+                                     axis=(1, 2, 3, 4))
+        return jnp.mean(total / len(sigmas))
+
+    np.testing.assert_allclose(float(gaussian_deriv3d_loss(o, t)),
+                               float(dense(o, t)), rtol=1e-5, atol=1e-6)
