@@ -71,7 +71,7 @@ def _pick_bb(V: int, C: int, N: int, n_j: int, Dc: int, bwd: bool) -> int:
     standalone scan kernel runs bb=512). Live fp32 set: conv scratch
     (2V x C), ~8 (V x C) value tiles, scan scratches; bwd adds the
     (V, n_j*N*Dc) h history and the reverse sweep."""
-    hist = V * n_j * N * Dc * 4 if bwd else 0
+    hist = V * N * Dc * 4 * (4 if bwd else 2)      # nd-wide scan scratches
     per_row = V * 4 * (16 * C if not bwd else 30 * C) + hist
     budget = (36 if bwd else 28) * 1024 * 1024
     rows = max(budget // max(per_row, 1), 8)
@@ -202,7 +202,7 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
 
     def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
                at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
-               pad_scr, x_scr, dtv_scr, y_scr):
+               pad_scr, x_scr, dtv_scr, y_scr, a_scr, c_scr):
         bb = x_ref.shape[0]
         x_in = x_ref[...].astype(jnp.float32)
         xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
@@ -211,23 +211,33 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
 
         _fill_chunked(x_scr, x, Dh)
         _fill_chunked(dtv_scr, dtv, Dh)
+        Bc2 = Bc.reshape(bb * V, N)
+        Cc2 = Cc.reshape(bb * V, N)
 
         E = e_ref[...]
         Fn = fn_ref[...]
         for jc in range(n_j):
-            a2 = at_ref[jc, 0:1, :] * _LOG2E           # (1, nd)
+            a2row = at_ref[jc, 0:1, :] * _LOG2E        # (1, nd)
             lo = jc * Dc
+            # batched precompute over all (bb, V) rows: the sequential part
+            # below is 2 VPU ops per step (the per-t matmul/exp2/softplus
+            # version ran latency-bound)
+            d2 = jax.nn.softplus(
+                dtv_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc))
+            x2 = x_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc)
+            d_rep2 = pltpu.repeat(d2, N, axis=1)
+            a_scr[...] = jnp.exp2(d_rep2 * a2row).reshape(bb, V, nd)
+            c2 = pltpu.repeat(d2 * x2, N, axis=1) * _dot32(Bc2, E)
+            c_scr[...] = c2.reshape(bb, V, nd)
+
             h = jnp.zeros((bb, nd), jnp.float32)
             for t in range(V):
-                x_t = x_scr[:, t, lo:lo + Dc]
-                d_t = jax.nn.softplus(dtv_scr[:, t, lo:lo + Dc])
-                bu = d_t * x_t
-                d_rep = pltpu.repeat(d_t, N, axis=1)
-                bu_rep = pltpu.repeat(bu, N, axis=1)
-                a_t = jnp.exp2(d_rep * a2)
-                h = a_t * h + bu_rep * _dot32(Bc[:, t, :], E)
-                y_scr[:, t, lo:lo + Dc] = _dot32(h * _dot32(Cc[:, t, :], E),
-                                                 Fn)
+                h = a_scr[:, t, :] * h + c_scr[:, t, :]
+                c_scr[:, t, :] = h                     # h history, in place
+
+            H2 = c_scr[...].reshape(bb * V, nd)
+            y2 = _dot32(H2 * _dot32(Cc2, E), Fn)       # (bb*V, Dc)
+            y_scr[:, :, lo:lo + Dc] = y2.reshape(bb, V, Dc)
 
         y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
         yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
@@ -249,7 +259,7 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
                at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref, g_ref,
                dx_ref, dwxz_ref, dwconv_ref, dwdbl_ref, dwdt_ref, ddtb_ref,
                dat_ref, ddskip_ref, dwout_ref,
-               pad_scr, x_scr, dtv_scr, y_scr, hist_scr, dh_scr,
+               pad_scr, x_scr, dtv_scr, y_scr, a_scr, h_scr, hp_scr, cg_scr,
                dxs_scr, ddt_scr, dB_scr, dC_scr):
         i = pl.program_id(0)
 
@@ -272,26 +282,37 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
 
         _fill_chunked(x_scr, x, Dh)
         _fill_chunked(dtv_scr, dtv, Dh)
+        Bc2 = Bc.reshape(bb * V, N)
+        Cc2 = Cc.reshape(bb * V, N)
 
         E = e_ref[...]
         Fn = fn_ref[...]
         Fr = fr_ref[...]
 
-        # recompute the scan, keeping the h history per chunk
-        for jc in range(n_j):
-            a2 = at_ref[jc, 0:1, :] * _LOG2E
+        # ---- recompute the forward scan per chunk (batched precompute +
+        # 2-op recurrence; see the forward kernel) to rebuild y --------------
+        def chunk_fwd(jc):
+            a2row = at_ref[jc, 0:1, :] * _LOG2E
             lo = jc * Dc
+            d2 = jax.nn.softplus(
+                dtv_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc))
+            x2 = x_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc)
+            d_rep2 = pltpu.repeat(d2, N, axis=1)
+            a_scr[...] = jnp.exp2(d_rep2 * a2row).reshape(bb, V, nd)
+            c2 = pltpu.repeat(d2 * x2, N, axis=1) * _dot32(Bc2, E)
+            cg_scr[...] = c2.reshape(bb, V, nd)
             h = jnp.zeros((bb, nd), jnp.float32)
             for t in range(V):
-                x_t = x_scr[:, t, lo:lo + Dc]
-                d_t = jax.nn.softplus(dtv_scr[:, t, lo:lo + Dc])
-                d_rep = pltpu.repeat(d_t, N, axis=1)
-                bu_rep = pltpu.repeat(d_t * x_t, N, axis=1)
-                a_t = jnp.exp2(d_rep * a2)
-                h = a_t * h + bu_rep * _dot32(Bc[:, t, :], E)
-                hist_scr[:, t, jc * nd:(jc + 1) * nd] = h
-                y_scr[:, t, lo:lo + Dc] = _dot32(h * _dot32(Cc[:, t, :], E),
-                                                 Fn)
+                h = a_scr[:, t, :] * h + cg_scr[:, t, :]
+                h_scr[:, t, :] = h
+            return d2, x2, d_rep2
+
+        for jc in range(n_j):
+            chunk_fwd(jc)
+            lo = jc * Dc
+            H2 = h_scr[...].reshape(bb * V, nd)
+            y2 = _dot32(H2 * _dot32(Cc2, E), Fn)
+            y_scr[:, :, lo:lo + Dc] = y2.reshape(bb, V, Dc)
 
         # ---- out_proj / D-skip transpose ----------------------------------
         do = g_ref[...].astype(jnp.float32)
@@ -308,48 +329,46 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
         # (y_scr's scan values are no longer needed past this point)
         _fill_chunked(y_scr, dy, Dh)
 
-        # ---- scan backward: reverse sweep per chunk -----------------------
+        # ---- scan backward per chunk: batched products around a 2-op
+        # reverse recurrence ------------------------------------------------
         dB_scr[...] = jnp.zeros_like(dB_scr)
         dC_scr[...] = jnp.zeros_like(dC_scr)
         for jc in range(n_j):
             a_flat = at_ref[jc, 0:1, :]
-            a2 = a_flat * _LOG2E
             lo = jc * Dc
-            dh_scr[...] = jnp.zeros_like(dh_scr)
-            dA_acc = jnp.zeros((1, nd), jnp.float32)
-            for t in range(V - 1, -1, -1):
-                x_t = x_scr[:, t, lo:lo + Dc]
-                raw = dtv_scr[:, t, lo:lo + Dc]
-                d_t = jax.nn.softplus(raw)
-                bu = d_t * x_t
-                d_rep = pltpu.repeat(d_t, N, axis=1)
-                bu_rep = pltpu.repeat(bu, N, axis=1)
-                B_t = Bc[:, t, :]
-                C_t = Cc[:, t, :]
-                a_t = jnp.exp2(d_rep * a2)
-                g_t = y_scr[:, t, lo:lo + Dc]
+            d2, x2, d_rep2 = chunk_fwd(jc)    # rebuild a_scr / h history
+            raw2 = dtv_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc)
+            # h_{t-1} history (zeros at t=0)
+            hp_scr[:, 0:1, :] = jnp.zeros((bb, 1, nd), jnp.float32)
+            hp_scr[:, 1:, :] = h_scr[:, :V - 1, :]
 
-                h_t = hist_scr[:, t, jc * nd:(jc + 1) * nd]
-                if t > 0:
-                    h_prev = hist_scr[:, t - 1, jc * nd:(jc + 1) * nd]
-                else:
-                    h_prev = jnp.zeros_like(h_t)
+            g2 = y_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc)
+            g_rep2 = pltpu.repeat(g2, N, axis=1)
+            cg2 = _dot32(Cc2, E) * g_rep2
+            cg_scr[...] = cg2.reshape(bb, V, nd)
 
-                g_rep = pltpu.repeat(g_t, N, axis=1)
-                dh = dh_scr[...] + _dot32(C_t, E) * g_rep
+            # dh_t = cg_t + a_{t+1} * dh_{t+1}, stored back in place
+            dh = cg_scr[:, V - 1, :]
+            for t in range(V - 2, -1, -1):
+                dh = cg_scr[:, t, :] + a_scr[:, t + 1, :] * dh
+                cg_scr[:, t, :] = dh
 
-                dC_scr[:, t, :] += _dot32(h_t * g_rep, Fr)
-                da = dh * h_prev
-                dA_acc = dA_acc + jnp.sum(da * a_t * d_rep, axis=0,
-                                          keepdims=True)
-                B_rep = _dot32(B_t, E)
-                red = _dot32(dh * B_rep, Fn)               # (bb, Dc)
-                dxs_scr[:, t, lo:lo + Dc] = d_t * red
-                ddt_scr[:, t, lo:lo + Dc] = jax.nn.sigmoid(raw) * (
-                    x_t * red + _dot32(da * a_t * a_flat, Fn))
-                dB_scr[:, t, :] += _dot32(dh * bu_rep, Fr)
-                dh_scr[...] = a_t * dh
-            dat_ref[jc, 0:1, :] += dA_acc
+            H2 = h_scr[...].reshape(bb * V, nd)
+            DH2 = cg_scr[...].reshape(bb * V, nd)
+            HP2 = hp_scr[...].reshape(bb * V, nd)
+            A2 = a_scr[...].reshape(bb * V, nd)
+
+            dC_scr[...] += _dot32(H2 * g_rep2, Fr).reshape(bb, V, N)
+            da_a = DH2 * HP2 * A2
+            dat_ref[jc, 0:1, :] += jnp.sum(da_a * d_rep2, axis=0,
+                                           keepdims=True)
+            red2 = _dot32(DH2 * _dot32(Bc2, E), Fn)        # (bb*V, Dc)
+            dxs_scr[:, :, lo:lo + Dc] = (d2 * red2).reshape(bb, V, Dc)
+            ddt2 = jax.nn.sigmoid(raw2) * (
+                x2 * red2 + _dot32(da_a * a_flat, Fn))
+            ddt_scr[:, :, lo:lo + Dc] = ddt2.reshape(bb, V, Dc)
+            dB_scr[...] += _dot32(
+                DH2 * pltpu.repeat(d2 * x2, N, axis=1), Fr).reshape(bb, V, N)
 
         # ---- dt path -------------------------------------------------------
         ddtv = ddt_scr[:, :, :Dh]
@@ -442,6 +461,8 @@ def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -499,8 +520,10 @@ def _bwd(N, res, do):
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
-            pltpu.VMEM((bb, V, n_j * nd), jnp.float32),
-            pltpu.VMEM((bb, nd), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
+            pltpu.VMEM((bb, V, nd), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
             pltpu.VMEM((bb, V, N), jnp.float32),
