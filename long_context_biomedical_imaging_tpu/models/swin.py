@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (compute_shift_regions, get_window_size,
-                   relative_position_index, window_partition, window_reverse,
-                   windowed_attention_proj)
+                   pad_to_window_multiple, relative_position_index,
+                   window_partition, window_reverse, windowed_attention_proj)
 from .hyena import HyenaOperator
 from .layers import (MLPBlock, PatchEmbed, TorchDense, fan_in_bias_init,
                      parameterless_layer_norm, torch_linear_kernel_init,
@@ -110,13 +110,14 @@ class PatchMergingV2(nn.Module):
         pad_d, pad_h, pad_w = d % md, h % 2, w % 2
         if pad_d or pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
-        parts = []
-        for i in range(md):
-            for j in range(2):
-                for k in range(2):
-                    di = x[:, i::md] if md == 2 else x
-                    parts.append(di[:, :, j::2, k::2, :])
-        x = jnp.concatenate(parts, axis=-1)
+        dp, hp, wp = d + pad_d, h + pad_h, w + pad_w
+        # Reshape/transpose formulation of the strided-slice concat
+        # concat_{i,j,k}(x[:, i::md, j::2, k::2, :]): XLA lowers the slice
+        # concat's backward to 2^dims chained scatter fusions (~20 ms/step on
+        # ptx); the transpose form is a single layout pass each way.
+        x = x.reshape(b, dp // md, md, hp // 2, 2, wp // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(b, dp // md, hp // 2, wp // 2, md * 4 * c)
         x = nn.LayerNorm(name="norm")(x)
         return TorchDense(2 * self.dim, use_bias=False)(x)
 
@@ -134,9 +135,32 @@ class SwinTransformerBlock(nn.Module):
     use_hyena: bool = False
     use_mamba: bool = False
     dropout_rate: float = 0.0
+    windowed: bool = False   # input already partitioned to (B*nW, V, C)
 
     @nn.compact
     def __call__(self, x, attn_mask, deterministic: bool = True):
+        if self.windowed:
+            # Stage-level windowed layout (hyena/mamba: shift is disabled, so
+            # every block in a stage shares the identical partition — the
+            # partition/reverse layout copies that XLA materializes per block
+            # were ~15% of the ptx step; see BasicLayer).
+            bw, v, c = x.shape
+            shortcut = x
+            xw = nn.LayerNorm(name="norm1")(x)
+            attn_windows = WindowAttention(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size, qkv_bias=self.qkv_bias,
+                dropout_rate=self.dropout_rate,
+                name="attn")(xw, None, use_hyena=self.use_hyena,
+                             use_mamba=self.use_mamba,
+                             deterministic=deterministic)
+            x = shortcut + attn_windows
+            flat = x.reshape(-1, c)
+            flat = flat + MLPBlock(self.dim, int(self.dim * self.mlp_ratio),
+                                   self.dropout_rate, name="mlp")(
+                nn.LayerNorm(name="norm2")(flat), deterministic)
+            return flat.reshape(bw, v, c)
+
         b, d, h, w, c = x.shape
         window_size, shift_size = get_window_size((d, h, w), self.window_size,
                                                   self.shift_size)
@@ -214,15 +238,36 @@ class BasicLayer(nn.Module):
         if self.use_checkpoint:
             # args after self: (x=0, attn_mask=1, deterministic=2)
             block_cls = nn.remat(SwinTransformerBlock, static_argnums=(2,))
-        for i in range(self.depth):
-            x = block_cls(
-                dim=self.dim, num_heads=self.num_heads,
-                window_size=self.window_size,
-                shift_size=no_shift if i % 2 == 0 else base_shift,
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                use_hyena=self.use_hyena, use_mamba=self.use_mamba,
-                dropout_rate=self.dropout_rate,
-                name=f"block_{i}")(x, attn_mask, deterministic)
+
+        if self.use_hyena or self.use_mamba:
+            # Shift is disabled for hyena/mamba (ref: backbone_swin.py:674),
+            # so every block shares the identical partition: partition once,
+            # run the whole stage in (B*nW, V, C) windowed layout, reverse
+            # once. Per-block partition/reverse cost ~15% of the ptx step in
+            # materialized layout copies.
+            xp, (dp, hp, wp) = pad_to_window_multiple(x, window_size)
+            xw = window_partition(xp, window_size)
+            for i in range(self.depth):
+                xw = block_cls(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=window_size, shift_size=no_shift,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    use_hyena=self.use_hyena, use_mamba=self.use_mamba,
+                    dropout_rate=self.dropout_rate, windowed=True,
+                    name=f"block_{i}")(xw, None, deterministic)
+            x = window_reverse(xw, window_size, (b, dp, hp, wp))
+            if (dp, hp, wp) != (d, h, w):
+                x = x[:, :d, :h, :w, :]
+        else:
+            for i in range(self.depth):
+                x = block_cls(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=self.window_size,
+                    shift_size=no_shift if i % 2 == 0 else base_shift,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    use_hyena=self.use_hyena, use_mamba=self.use_mamba,
+                    dropout_rate=self.dropout_rate,
+                    name=f"block_{i}")(x, attn_mask, deterministic)
         x = PatchMergingV2(dim=self.dim, spatial_dims=self.spatial_dims,
                            name="downsample")(x)
         return x
