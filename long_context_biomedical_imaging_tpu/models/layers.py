@@ -130,6 +130,58 @@ class MLPBlock(nn.Module):
         return out.reshape(*lead, self.hidden_size)
 
 
+class LNMLPResidual(nn.Module):
+    """x + MLP(LayerNorm(x)) — the pre-LN transformer second half, fused.
+
+    Declares the LN affine and both Linear params itself so the whole chain
+    runs in one Pallas kernel (ops/fused_mlp.py:fused_ln_mlp_residual): the LN
+    stats, GELU hidden, and residual add all live on a VMEM token tile, vs ~6
+    extra C-wide HBM passes for the composed LN -> MLP -> add chain (measured
+    ~45 ms of the 237 ms ptx step; the flagships are HBM-bound, BASELINE.md).
+
+    LN follows flax nn.LayerNorm semantics (eps 1e-6, fp32 stats) to match the
+    composed path it replaces. Dropout (0.0 in every reference config; ref
+    MLPBlock at backbone_vit.py:250) falls back to the composed ops on the
+    same param tree.
+    """
+
+    hidden_size: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        ln_scale = self.param("ln_scale", nn.initializers.ones,
+                              (self.hidden_size,))
+        ln_bias = self.param("ln_bias", nn.initializers.zeros,
+                             (self.hidden_size,))
+        w1 = self.param("fc1_kernel", torch_linear_kernel_init,
+                        (self.hidden_size, self.mlp_dim))
+        b1 = self.param("fc1_bias", fan_in_bias_init(self.hidden_size),
+                        (self.mlp_dim,))
+        w2 = self.param("fc2_kernel", torch_linear_kernel_init,
+                        (self.mlp_dim, self.hidden_size))
+        b2 = self.param("fc2_bias", fan_in_bias_init(self.mlp_dim),
+                        (self.hidden_size,))
+
+        if self.dropout_rate == 0.0 or deterministic:
+            from ..ops.fused_mlp import fused_ln_mlp_residual
+            return fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+        lead = x.shape[:-1]
+        x32 = x.reshape(-1, self.hidden_size).astype(jnp.float32)
+        mu = x32.mean(axis=-1, keepdims=True)
+        var = (x32 * x32).mean(axis=-1, keepdims=True) - mu * mu
+        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale
+             + ln_bias).astype(x.dtype)
+        h = y @ w1.astype(x.dtype) + b1.astype(x.dtype)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        out = h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return x + out.reshape(*lead, self.hidden_size)
+
+
 def extract_patches(x, patch_size):
     """(B, *spatial, C) -> (B, *spatial/p, prod(p)*C) via reshape/transpose.
 

@@ -28,7 +28,7 @@ from ..ops import (compute_shift_regions, get_window_size,
                    pad_to_window_multiple, relative_position_index,
                    window_partition, window_reverse, windowed_attention_proj)
 from .hyena import HyenaOperator
-from .layers import (MLPBlock, PatchEmbed, TorchDense, fan_in_bias_init,
+from .layers import (LNMLPResidual, PatchEmbed, TorchDense, fan_in_bias_init,
                      parameterless_layer_norm, torch_linear_kernel_init,
                      trunc_normal_init)
 from .mamba import MambaVisionMixer
@@ -155,10 +155,9 @@ class SwinTransformerBlock(nn.Module):
                              use_mamba=self.use_mamba,
                              deterministic=deterministic)
             x = shortcut + attn_windows
-            flat = x.reshape(-1, c)
-            flat = flat + MLPBlock(self.dim, int(self.dim * self.mlp_ratio),
-                                   self.dropout_rate, name="mlp")(
-                nn.LayerNorm(name="norm2")(flat), deterministic)
+            flat = LNMLPResidual(self.dim, int(self.dim * self.mlp_ratio),
+                                 self.dropout_rate, name="mlp")(
+                x.reshape(-1, c), deterministic)
             return flat.reshape(bw, v, c)
 
         b, d, h, w, c = x.shape
@@ -197,10 +196,9 @@ class SwinTransformerBlock(nn.Module):
         x = shortcut + x
         # run LN+MLP on flattened tokens: Dense grads over a 5D operand lower
         # to ~6x-slower HBM-bound contractions than the same matmul on 2D
-        flat = x.reshape(-1, c)
-        flat = flat + MLPBlock(self.dim, int(self.dim * self.mlp_ratio),
-                               self.dropout_rate, name="mlp")(
-            nn.LayerNorm(name="norm2")(flat), deterministic)
+        flat = LNMLPResidual(self.dim, int(self.dim * self.mlp_ratio),
+                             self.dropout_rate, name="mlp")(
+            x.reshape(-1, c), deterministic)
         return flat.reshape(b, d, h, w, c)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops import multi_head_attention
 from .hyena import HyenaOperator
-from .layers import MLPBlock, PatchEmbeddingBlock, TorchDense
+from .layers import LNMLPResidual, PatchEmbeddingBlock, TorchDense
 from .mamba import MambaVisionMixer
 
 HYENA_L_MAX = 66000  # ref: backbone_vit.py:172
@@ -77,9 +77,10 @@ class TransformerBlock(nn.Module):
         x = x + SABlock(self.hidden_size, self.num_heads, self.use_hyena,
                         self.use_mamba, self.dropout_rate, self.qkv_bias,
                         name="attn")(nn.LayerNorm(name="norm1")(x), deterministic)
-        x = x + MLPBlock(self.hidden_size, self.mlp_dim, self.dropout_rate,
-                         name="mlp")(nn.LayerNorm(name="norm2")(x), deterministic)
-        return x
+        b, l, c = x.shape
+        x = LNMLPResidual(self.hidden_size, self.mlp_dim, self.dropout_rate,
+                          name="mlp")(x.reshape(-1, c), deterministic)
+        return x.reshape(b, l, c)
 
 
 class ViTBackbone(nn.Module):

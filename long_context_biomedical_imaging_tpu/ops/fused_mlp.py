@@ -100,6 +100,80 @@ def _make_fwd_kernel(dt):
     return kernel
 
 
+_LN_EPS = 1e-6  # flax nn.LayerNorm default (the composed path this replaces)
+
+
+def _ln_fwd(x32, g, b):
+    """LayerNorm over the last axis in fp32 (fast-variance form, flax parity).
+
+    Returns (y, xhat, rstd)."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (x32 - mu) * rstd
+    return xhat * g + b, xhat, rstd
+
+
+def _ln_bwd(dy, xhat, rstd, g):
+    """dx of LayerNorm given upstream dy; also returns (dgamma, dbeta) summed
+    over all leading axes."""
+    red = tuple(range(dy.ndim - 1))
+    dg = jnp.sum(dy * xhat, axis=red)[None, :]
+    db = jnp.sum(dy, axis=red)[None, :]
+    dxhat = dy * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    return dx, dg, db
+
+
+def _make_ln_fwd_kernel(dt):
+    def kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        x32 = x_ref[...].astype(jnp.float32)
+        y, _, _ = _ln_fwd(x32, g_ref[0][None, :], bln_ref[0][None, :])
+        u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
+        h = _gelu(u)
+        out = _dot(h, w2_ref[...], dt) + b2_ref[0][None, :] + x32
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_ln_bwd_kernel(dt):
+    def kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, do_ref,
+               dx_ref, dg_ref, dbln_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dg_ref[...] = jnp.zeros_like(dg_ref)
+            dbln_ref[...] = jnp.zeros_like(dbln_ref)
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        x32 = x_ref[...].astype(jnp.float32)
+        g = g_ref[0][None, :]
+        y, xhat, rstd = _ln_fwd(x32, g, bln_ref[0][None, :])
+        u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
+        h = _gelu(u)
+        do = do_ref[...].astype(jnp.float32)
+        dw2_ref[...] += _dot_tt(h, do, dt)
+        db2_ref[...] += jnp.sum(do, axis=0, keepdims=True)
+        dh = _dot_t(do, w2_ref[...], dt)
+        du = dh * _gelu_grad(u)
+        dw1_ref[...] += _dot_tt(y, du, dt)
+        db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+        dy = _dot_t(du, w1_ref[...], dt)
+        dx_ln, dg, dbln = _ln_bwd(dy, xhat, rstd, g)
+        dg_ref[...] += dg
+        dbln_ref[...] += dbln
+        dx_ref[...] = (dx_ln + do).astype(dx_ref.dtype)
+
+    return kernel
+
+
 def _make_bwd_kernel(dt):
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, g_ref,
                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
@@ -204,6 +278,110 @@ def _fwd_rule(x, w1, b1, w2, b2):
 
 
 _mlp_core.defvjp(_fwd_rule, _bwd)
+
+
+def _ln_fwd_call(x, g, bln, w1, b1, w2, b2):
+    N, C = x.shape
+    H = w1.shape[1]
+    dt = x.dtype
+    bn = _pick_bn(C, H, bwd=False)
+    pad = (-N) % bn
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0))
+    out = pl.pallas_call(
+        _make_ln_fwd_kernel(dt),
+        grid=((N + pad) // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            vec(C), vec(C),
+            pl.BlockSpec((C, H), lambda i: (0, 0)), vec(H),
+            pl.BlockSpec((H, C), lambda i: (0, 0)), vec(C),
+        ],
+        out_specs=pl.BlockSpec((bn, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N + pad, C), x.dtype),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, g, bln, w1, b1, w2, b2)
+    return out[:N]
+
+
+def _ln_bwd_call(res, do):
+    x, g, bln, w1, b1, w2 = res
+    N, C = x.shape
+    H = w1.shape[1]
+    dt = x.dtype
+    bn = _pick_bn(C, H, bwd=True)
+    pad = (-N) % bn
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    dop = jnp.pad(do, ((0, pad), (0, 0))) if pad else do
+
+    vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0))
+    dx, dg, dbln, dw1, db1, dw2, db2 = pl.pallas_call(
+        _make_ln_bwd_kernel(dt),
+        grid=((N + pad) // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            vec(C), vec(C),
+            pl.BlockSpec((C, H), lambda i: (0, 0)), vec(H),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),
+            vec(C), vec(C),
+            pl.BlockSpec((C, H), lambda i: (0, 0)), vec(H),
+            pl.BlockSpec((H, C), lambda i: (0, 0)), vec(C),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N + pad, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, g, bln, w1, b1, w2, dop)
+    return (dx[:N], dg.astype(jnp.float32), dbln.astype(jnp.float32),
+            dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2)
+
+
+@jax.custom_vjp
+def _ln_mlp_res_core(x, g, bln, w1, b1, w2, b2):
+    return _ln_fwd_call(x, g, bln, w1, b1, w2, b2)
+
+
+def _ln_fwd_rule(x, g, bln, w1, b1, w2, b2):
+    return (_ln_fwd_call(x, g, bln, w1, b1, w2, b2),
+            (x, g, bln, w1, b1, w2))
+
+
+_ln_mlp_res_core.defvjp(_ln_fwd_rule, _ln_bwd_call)
+
+
+def fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """x + mlp(layer_norm(x)) in one kernel (pre-LN transformer second half).
+
+    The LN (flax nn.LayerNorm semantics, eps 1e-6, fast variance), the GELU
+    MLP, and the residual add all happen on a VMEM-resident token tile: HBM
+    traffic is x in / out out, vs ~6 extra C-wide passes for the composed
+    LN -> fused_mlp -> add chain (LN read/write + stats, residual read x +
+    read mlp-out + write; measured ~45 ms of the 237 ms ptx step).
+
+    x: (..., C). ln_scale/ln_bias: (C,). Returns x.shape in x.dtype.
+    """
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    x2 = x.reshape(-1, C)
+    out = _ln_mlp_res_core(
+        x2, ln_scale.astype(jnp.float32)[None, :],
+        ln_bias.astype(jnp.float32)[None, :],
+        w1, b1.astype(jnp.float32)[None, :],
+        w2, b2.astype(jnp.float32)[None, :])
+    return out.reshape(*lead, C)
 
 
 def fused_mlp(x, w1, b1, w2, b2):

@@ -336,6 +336,43 @@ def test_fused_mlp_parity(rng):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_fused_ln_mlp_residual_parity(rng):
+    """Fused LN+MLP+residual == LayerNorm -> Dense/gelu/Dense -> add
+    (fp32, interpret on CPU), values and grads incl. the LN affine."""
+    from long_context_biomedical_imaging_tpu.ops.fused_mlp import (
+        fused_ln_mlp_residual)
+
+    N, C, H = 48, 24, 96
+
+    def mk(shape, scale=0.5):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((N, C), 1.0)
+    g = mk((C,)) + 1.0
+    bln = mk((C,))
+    w1, b1, w2, b2 = mk((C, H)), mk((H,)), mk((H, C)), mk((C,))
+
+    def composed(x, g, bln, w1, b1, w2, b2):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = (x * x).mean(axis=-1, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + bln
+        h = jax.nn.gelu(y @ w1 + b1, approximate=False)
+        return x + (h @ w2 + b2)
+
+    args = (x, g, bln, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(fused_ln_mlp_residual(*args)),
+                               np.asarray(composed(*args)),
+                               rtol=2e-5, atol=2e-5)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_ln_mlp_residual(*a) ** 2),
+                  argnums=tuple(range(7)))(*args)
+    gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
+                  argnums=tuple(range(7)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_mamba_window_fused_parity(rng):
     """Fused Pallas mamba mixer == composed in_proj/conv/x_proj/scan/out_proj
     (fp32; interpret mode on the CPU mesh)."""
