@@ -48,6 +48,32 @@ class AverageMeter:
         return self.sum / self.count if self.count else 0.0
 
 
+def _ragged_allgather(preds: np.ndarray, labels: np.ndarray):
+    """Gather per-process (preds, labels) whose leading counts may differ.
+
+    `process_allgather` requires identical shapes on every process, but the
+    `pi::pc` eval loader shard is ragged when N % process_count != 0 (the
+    reference's DistributedSampler pads instead, so its dist.gather is total,
+    ref: trainer_base.py:276-283, metrics_base.py:344-350). Pad every process
+    to the global max count, gather, then trim each segment by its true count.
+    """
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.array([preds.shape[0]], np.int64))).reshape(-1)
+    n_max = int(counts.max())
+
+    def pad_gather(a):
+        padded = np.pad(a, [(0, n_max - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+        stacked = np.asarray(multihost_utils.process_allgather(padded))
+        return np.concatenate([stacked[i, :counts[i]]
+                               for i in range(len(counts))])
+
+    if n_max == 0:
+        return preds, labels
+    return pad_gather(preds), pad_gather(labels)
+
+
 _TASK_METRICS = {
     # (train metric names, eval metric names) — ref: metrics_base.py:59-115
     "class": (("loss", "auroc"), ("loss", "acc_1", "auroc", "f1")),
@@ -243,12 +269,16 @@ class MetricManager:
     def on_eval_epoch_end(self, train_state, epoch: int, split: str,
                           final_eval: bool, rank: int = 0):
         if self.config.exact_metrics:
-            preds = np.concatenate(self.all_preds) if self.all_preds else np.zeros((0,))
-            labels = np.concatenate(self.all_labels) if self.all_labels else np.zeros((0,))
+            # class-only (enforced in on_eval_step_end): preds (n,) binary
+            # probs or (n, C) softmax; labels (n,) ints. A process can hold
+            # zero rows, so give empties the right trailing shape up front.
+            tail = () if self.binary else (self.config.no_out_channel,)
+            preds = (np.concatenate(self.all_preds) if self.all_preds
+                     else np.zeros((0,) + tail, np.float32))
+            labels = (np.concatenate(self.all_labels) if self.all_labels
+                      else np.zeros((0,), np.int64))
             if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
-                preds = np.concatenate(multihost_utils.process_allgather(preds))
-                labels = np.concatenate(multihost_utils.process_allgather(labels))
+                preds, labels = _ragged_allgather(preds, labels)
             average = {"loss": self._reduce_meters(
                 {"loss": self.eval_metrics["loss"]})["loss"]}
             for name in self.eval_metrics:

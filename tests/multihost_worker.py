@@ -96,6 +96,29 @@ def main():
     avg = mm._reduce_meters({"x": m})["x"]
     assert abs(avg - (1.0 * 1 + 2.0 * 2) / 3) < 1e-6, avg  # fp32 allgather
 
+    # ---- exact-metrics gather with ragged per-process counts ---------------
+    # 9 subjects over 2 processes (5/4 split): the reference's sampler pads so
+    # its dist.gather is total; ours must handle the ragged pi::pc shard.
+    from long_context_biomedical_imaging_tpu.metrics import functional as MF
+    from long_context_biomedical_imaging_tpu.metrics.manager import \
+        _ragged_allgather
+
+    rs = np.random.RandomState(0)
+    all_preds = rs.rand(9).astype(np.float32)           # binary probs
+    all_labels = (rs.rand(9) > 0.5).astype(np.int64)
+    lo, hi = (0, 5) if pid == 0 else (5, 9)
+    g_preds, g_labels = _ragged_allgather(all_preds[lo:hi], all_labels[lo:hi])
+    assert np.allclose(g_preds, all_preds), g_preds
+    assert np.array_equal(g_labels, all_labels), g_labels
+    assert abs(MF.auroc(g_preds, g_labels, True)
+               - MF.auroc(all_preds, all_labels, True)) < 1e-9
+
+    # multiclass (n, C) preds + a zero-row process
+    mc = rs.rand(9, 3).astype(np.float32)
+    lo, hi = (0, 9) if pid == 0 else (9, 9)
+    g_mc, g_lab = _ragged_allgather(mc[lo:hi], all_labels[lo:hi])
+    assert np.allclose(g_mc, mc) and np.array_equal(g_lab, all_labels)
+
     print(f"worker {pid}: OK", flush=True)
 
 
