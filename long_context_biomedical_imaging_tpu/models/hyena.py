@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,10 +107,14 @@ class HyenaOperator(nn.Module):
     filter_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, u, deterministic: bool = True):
+    def __call__(self, u, deterministic: bool = True, ln_params=None):
         """Channel-minor forward: every tensor keeps channels on the minor
         (lane) axis — window-volume sequences of 16-512 tokens would waste the
-        128-lane VPU if the reference's (B, D, L) layout were kept."""
+        128-lane VPU if the reference's (B, D, L) layout were kept.
+
+        ln_params: optional (scale, bias) of the caller's pre-LN. When given,
+        returns u + mixer(LN(u)) with LN and residual folded into the fused
+        kernel (2 fewer HBM passes over the stage tensor each way)."""
         b, l, d = u.shape
         assert l <= self.l_max, f"Input length {l} exceeds maximum length {self.l_max}"
         assert d == self.d_model
@@ -142,31 +147,48 @@ class HyenaOperator(nn.Module):
             # windowed regime: one Pallas kernel for the whole mixer body —
             # the composed path streams the 3d-wide projection through HBM
             # ~6x per block (measured 1.4-1.9x step-op speedup on v5e)
+            if ln_params is not None:
+                return hyena_window_mixer(u, w_in, b_in, w_short, b_short,
+                                          k_full, bias_full, w_out, b_out,
+                                          ln_scale=ln_params[0],
+                                          ln_bias=ln_params[1])
             return hyena_window_mixer(u, w_in, b_in, w_short, b_short,
                                       k_full, bias_full, w_out, b_out)
 
-        # in_proj emits [x1 | x2 | v] channel blocks (head-major inside each) —
-        # a learned permutation of the reference's interleaved layout.
-        # 2D-flattened matmuls: XLA lowers >2D Dense gradients ~6x slower.
-        z = (u.reshape(b * l, d) @ w_in.astype(u.dtype)
-             + b_in.astype(u.dtype)).reshape(b, l, width)
+        def composed(y):
+            # in_proj emits [x1 | x2 | v] channel blocks (head-major inside
+            # each) — a learned permutation of the reference's interleaved
+            # layout. 2D-flattened matmuls: XLA lowers >2D Dense gradients
+            # ~6x slower.
+            z = (y.reshape(b * l, d) @ w_in.astype(y.dtype)
+                 + b_in.astype(y.dtype)).reshape(b, l, width)
 
-        # Short causal depthwise conv (ref: hyena.py:285-291,321).
-        z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
+            # Short causal depthwise conv (ref: hyena.py:285-291,321).
+            z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
 
-        x1 = z[..., :self.d_model]
-        x2 = z[..., self.d_model:2 * self.d_model]
-        v = z[..., 2 * self.d_model:]
+            x1 = z[..., :self.d_model]
+            x2 = z[..., self.d_model:2 * self.d_model]
+            v = z[..., 2 * self.d_model:]
 
-        v = v * x1                                        # pre-gate
-        v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
+            v = v * x1                                    # pre-gate
+            v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
 
-        v = causal_long_conv_cm(v, k_full, bias_full)
+            v = causal_long_conv_cm(v, k_full, bias_full)
 
-        v = v * x2                                        # post-gate
-        v = (v.reshape(b * l, d) @ w_out.astype(u.dtype)
-             + b_out.astype(u.dtype)).reshape(b, l, d)
-        return v                                          # out_proj
+            v = v * x2                                    # post-gate
+            v = (v.reshape(b * l, d) @ w_out.astype(y.dtype)
+                 + b_out.astype(y.dtype)).reshape(b, l, d)
+            return v                                      # out_proj
+
+        if ln_params is None:
+            return composed(u)
+        # composed fallback keeps the x + mixer(LN(x)) contract
+        u32 = u.astype(jnp.float32)
+        mu = jnp.mean(u32, axis=-1, keepdims=True)
+        var = jnp.mean(u32 * u32, axis=-1, keepdims=True) - mu * mu
+        y = (u32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = (y * ln_params[0] + ln_params[1]).astype(u.dtype)
+        return u + composed(y)
 
 
 def depthwise_conv_init(kernel_size: int):

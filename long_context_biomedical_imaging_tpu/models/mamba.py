@@ -64,7 +64,11 @@ class MambaVisionMixer(nn.Module):
     dt_rank: int | None = None    # default ceil(d_model/16)
 
     @nn.compact
-    def __call__(self, hidden_states, deterministic: bool = True):
+    def __call__(self, hidden_states, deterministic: bool = True,
+                 ln_params=None):
+        """ln_params: optional (scale, bias) of the caller's pre-LN. When
+        given, returns x + mixer(LN(x)) with LN and residual folded into the
+        fused kernel (2 fewer HBM passes over the stage tensor each way)."""
         b, l, _ = hidden_states.shape
         d_inner = int(self.expand * self.d_model)
         d_half = d_inner // 2
@@ -98,9 +102,28 @@ class MambaVisionMixer(nn.Module):
             # windowed regime: the ENTIRE mixer body as one Pallas kernel —
             # the composed path streams xz/conv/x/dt/B/C/y through HBM
             # between stages (measured 1.1-2.3x fwd+bwd on v5e)
+            if ln_params is not None:
+                return mamba_window_mixer(hidden_states, w_xz, wx, wz, w_dbl,
+                                          dt_kernel, dt_bias, A, D, w_out,
+                                          d_state=self.d_state,
+                                          ln_scale=ln_params[0],
+                                          ln_bias=ln_params[1])
             return mamba_window_mixer(hidden_states, w_xz, wx, wz, w_dbl,
                                       dt_kernel, dt_bias, A, D, w_out,
                                       d_state=self.d_state)
+
+        # composed fallback keeps the x + mixer(LN(x)) contract: normalize
+        # here, mix the normalized stream, re-add the residual at the end
+        residual = None
+        if ln_params is not None:
+            residual = hidden_states
+            u32 = hidden_states.astype(jnp.float32)
+            mu = jnp.mean(u32, axis=-1, keepdims=True)
+            var = jnp.mean(u32 * u32, axis=-1, keepdims=True) - mu * mu
+            y = (u32 - mu) * jax.lax.rsqrt(var + 1e-6)
+            hidden_states = (y * ln_params[0]
+                             + ln_params[1]).astype(hidden_states.dtype)
+
 
         # Channel-minor throughout: (b, l, channels) with channels on the VPU
         # lanes — see selective_scan_cm for why the reference's (b, d, l)
@@ -143,5 +166,6 @@ class MambaVisionMixer(nn.Module):
                 delta_bias=dt_bias, delta_softplus=True).transpose(0, 2, 1)
 
         y = jnp.concatenate([y, z], axis=-1)                       # (b, l, d_inner)
-        return (y.reshape(b * l, d_inner)                          # out_proj
-                @ w_out.astype(y.dtype)).reshape(b, l, self.d_model)
+        out = (y.reshape(b * l, d_inner)                           # out_proj
+               @ w_out.astype(y.dtype)).reshape(b, l, self.d_model)
+        return out if residual is None else residual + out

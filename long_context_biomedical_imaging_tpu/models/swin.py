@@ -48,16 +48,17 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, use_hyena=False, use_mamba=False,
-                 deterministic: bool = True):
+                 deterministic: bool = True, ln_params=None):
         if use_hyena:
             return HyenaOperator(d_model=self.dim, l_max=HYENA_L_MAX,
                                  filter_order=64, num_heads=self.num_heads,
                                  short_filter_order=5, name="hyena")(
-                x, deterministic=deterministic)
+                x, deterministic=deterministic, ln_params=ln_params)
         if use_mamba:
             return MambaVisionMixer(d_model=self.dim, d_state=8, d_conv=3,
                                     expand=1, name="mamba")(
-                x, deterministic=deterministic)
+                x, deterministic=deterministic, ln_params=ln_params)
+        assert ln_params is None  # in-kernel pre-LN is hyena/mamba-only
 
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
@@ -145,16 +146,31 @@ class SwinTransformerBlock(nn.Module):
             # partition/reverse layout copies that XLA materializes per block
             # were ~15% of the ptx step; see BasicLayer).
             bw, v, c = x.shape
-            shortcut = x
-            xw = nn.LayerNorm(name="norm1")(x)
-            attn_windows = WindowAttention(
-                dim=self.dim, num_heads=self.num_heads,
-                window_size=self.window_size, qkv_bias=self.qkv_bias,
-                dropout_rate=self.dropout_rate,
-                name="attn")(xw, None, use_hyena=self.use_hyena,
-                             use_mamba=self.use_mamba,
-                             deterministic=deterministic)
-            x = shortcut + attn_windows
+            if self.use_hyena or self.use_mamba:
+                # pre-LN + residual fold into the fused mixer kernel (or its
+                # composed fallback): 2 fewer HBM passes over the stage tensor
+                # each way. Params declared here to keep one tree either way.
+                s = self.param("norm1_scale", nn.initializers.ones, (c,))
+                bln = self.param("norm1_bias", nn.initializers.zeros, (c,))
+                x = WindowAttention(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=self.window_size, qkv_bias=self.qkv_bias,
+                    dropout_rate=self.dropout_rate,
+                    name="attn")(x, None, use_hyena=self.use_hyena,
+                                 use_mamba=self.use_mamba,
+                                 deterministic=deterministic,
+                                 ln_params=(s, bln))
+            else:
+                shortcut = x
+                xw = nn.LayerNorm(name="norm1")(x)
+                attn_windows = WindowAttention(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=self.window_size, qkv_bias=self.qkv_bias,
+                    dropout_rate=self.dropout_rate,
+                    name="attn")(xw, None, use_hyena=False,
+                                 use_mamba=self.use_mamba,
+                                 deterministic=deterministic)
+                x = shortcut + attn_windows
             flat = LNMLPResidual(self.dim, int(self.dim * self.mlp_ratio),
                                  self.dropout_rate, name="mlp")(
                 x.reshape(-1, c), deterministic)

@@ -10,7 +10,9 @@ Fused, the hidden lives in VMEM and the backward recomputes it from x: HBM
 traffic is x in / out out (+ dx, do in the backward).
 
 Matmuls run on the MXU in the input dtype (bf16 under AMP) with fp32
-accumulation; GELU is the exact erf form, matching nn.gelu(approximate=False).
+accumulation; GELU is exact-erf for fp32 and the tanh form for bf16 (see
+_gelu — the difference is below the bf16 ULP of the value the kernel casts
+the activation to, and erf's rational poly costs +2.8 ms per fwd call).
 Weight gradients accumulate across the 1D grid sweep in their VMEM-resident
 output blocks (TPU grids are sequential).
 """
@@ -40,12 +42,22 @@ def _compiler_params():
 
 def _pick_bn(C: int, H: int, bwd: bool) -> int:
     """Token rows per grid block: live fp32 set ~3 H-wide + ~3 C-wide tiles
-    (double in bwd), plus the weight blocks."""
+    (double in bwd), plus the weight blocks.
+
+    Swept at the Swin stage-0 shape (1M tokens, C=96; bench_fused_blocks.py):
+    fwd 5.7/5.2/5.2/5.25/5.24 ms at bn 512..8192 and fwd+bwd flat 12.3-14 ms —
+    block size is a ~5% lever at most. 16MB budget picks bn=2048 fwd /
+    1024 bwd, near the measured best without risking scoped-VMEM OOM.
+    LCBI_MLP_BN[_BWD] env vars override for sweeps."""
+    import os
+    env = os.environ.get("LCBI_MLP_BN_BWD" if bwd else "LCBI_MLP_BN")
+    if env:
+        return int(env)
     per_row = 4 * (3 * H + 3 * C) * (2 if bwd else 1)
-    budget = 8 * 1024 * 1024
+    budget = 16 * 1024 * 1024
     rows = max(budget // per_row, 64)
     bn = 64
-    while bn * 2 <= rows and bn < 4096:
+    while bn * 2 <= rows and bn < 8192:
         bn *= 2
     return bn
 
@@ -79,21 +91,44 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _gelu(u):
-    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+_TANH_C0 = math.sqrt(2.0 / math.pi)
+_TANH_C1 = 0.044715
 
 
-def _gelu_grad(u):
-    cdf = 0.5 * (1.0 + _erf(u * _INV_SQRT2))
-    pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
-    return cdf + u * pdf
+def _gelu(u, dt=jnp.bfloat16):
+    """GELU on a fp32 tile.
+
+    bf16 compute dtype uses the tanh form: its error vs exact erf (<=1e-3 abs,
+    largest near |u|~2 where |gelu|~2) is below the bf16 ULP of the result the
+    kernel immediately casts to for the second matmul — numerically
+    indistinguishable at the output precision, and the erf rational poly
+    (sign/abs/reciprocal/exp chain) measured +2.8 ms per fwd call at the Swin
+    stage-0 volume vs ~0 for tanh (scripts/bench_kernel_anatomy.py --op mlp:
+    matmuls 2.72 / tanh 2.64 / erf 5.51 ms). fp32 keeps the exact erf form,
+    matching nn.gelu(approximate=False)."""
+    if dt == jnp.float32:
+        return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+    inner = jnp.tanh(_TANH_C0 * (u + _TANH_C1 * u * u * u))
+    return 0.5 * u * (1.0 + inner)
+
+
+def _gelu_grad(u, dt=jnp.bfloat16):
+    if dt == jnp.float32:
+        cdf = 0.5 * (1.0 + _erf(u * _INV_SQRT2))
+        pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
+        return cdf + u * pdf
+    # analytic derivative of the tanh form
+    th = jnp.tanh(_TANH_C0 * (u + _TANH_C1 * u * u * u))
+    sech2 = 1.0 - th * th
+    return 0.5 * (1.0 + th) + 0.5 * u * sech2 * _TANH_C0 * (
+        1.0 + 3.0 * _TANH_C1 * u * u)
 
 
 def _make_fwd_kernel(dt):
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         x = x_ref[...]
         u = _dot(x, w1_ref[...], dt) + b1_ref[0][None, :]
-        h = _gelu(u)
+        h = _gelu(u, dt)
         out = _dot(h, w2_ref[...], dt) + b2_ref[0][None, :]
         o_ref[...] = out.astype(o_ref.dtype)
 
@@ -132,7 +167,7 @@ def _make_ln_fwd_kernel(dt):
         x32 = x_ref[...].astype(jnp.float32)
         y, _, _ = _ln_fwd(x32, g_ref[0][None, :], bln_ref[0][None, :])
         u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
-        h = _gelu(u)
+        h = _gelu(u, dt)
         out = _dot(h, w2_ref[...], dt) + b2_ref[0][None, :] + x32
         o_ref[...] = out.astype(o_ref.dtype)
 
@@ -157,12 +192,12 @@ def _make_ln_bwd_kernel(dt):
         g = g_ref[0][None, :]
         y, xhat, rstd = _ln_fwd(x32, g, bln_ref[0][None, :])
         u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
-        h = _gelu(u)
+        h = _gelu(u, dt)
         do = do_ref[...].astype(jnp.float32)
         dw2_ref[...] += _dot_tt(h, do, dt)
         db2_ref[...] += jnp.sum(do, axis=0, keepdims=True)
         dh = _dot_t(do, w2_ref[...], dt)
-        du = dh * _gelu_grad(u)
+        du = dh * _gelu_grad(u, dt)
         dw1_ref[...] += _dot_tt(y, du, dt)
         db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
         dy = _dot_t(du, w1_ref[...], dt)
@@ -188,12 +223,12 @@ def _make_bwd_kernel(dt):
 
         x = x_ref[...]
         u = _dot(x, w1_ref[...], dt) + b1_ref[0][None, :]
-        h = _gelu(u)
+        h = _gelu(u, dt)
         do = g_ref[...].astype(jnp.float32)
         dw2_ref[...] += _dot_tt(h, do, dt)
         db2_ref[...] += jnp.sum(do, axis=0, keepdims=True)
         dh = _dot_t(do, w2_ref[...], dt)
-        du = dh * _gelu_grad(u)
+        du = dh * _gelu_grad(u, dt)
         dw1_ref[...] += _dot_tt(x.astype(jnp.float32), du, dt)
         db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
         dx_ref[...] = _dot_t(du, w1_ref[...], dt).astype(dx_ref.dtype)

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_mlp import _ln_bwd, _ln_fwd
+
 HYENA_WINDOW_MAX_LEN = 64
 
 
@@ -55,7 +57,17 @@ def hyena_window_supported(v: int) -> bool:
 
 def _pick_bb(V: int, C: int, bwd: bool) -> int:
     """Rows (windows) per grid block: the live fp32 set is ~14 C-wide token
-    tiles (z/zc/zpad are 3C-wide) in fwd and ~2x that in bwd."""
+    tiles (z/zc/zpad are 3C-wide) in fwd and ~2x that in bwd.
+
+    Swept at the ptx stage-0 shape (65536x16x96, scripts/bench_fused_blocks.py):
+    bb 64/128/256 time within 2% of each other (fwd 8.85/8.70/8.71 ms) and a
+    48MB budget OOMs scoped VMEM (real usage ~2.4x this estimate) — grid
+    overhead is NOT what holds this kernel off its roofline; keep the safe
+    10MB budget. LCBI_HYENA_BB[_BWD] env vars override for sweeps."""
+    import os
+    env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
+    if env:
+        return int(env)
     per_row = V * C * 4 * (28 if bwd else 14)
     budget = 10 * 1024 * 1024
     rows = max(budget // per_row, 8)
@@ -137,16 +149,34 @@ def _fwd_body(x, win, bin_, ws, bs, kl, zpad_ref, gpad_ref, V, C, dt):
     return z, zc, x1, x2, v, g, vl, v2
 
 
-def _make_fwd_kernel(V, C, dt):
-    def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, bo_ref,
-               o_ref, zpad_scr, gpad_scr):
+def _make_fwd_kernel(V, C, dt, ln: bool = False):
+    """Forward kernel; with ln=True the signature gains (g, b) LayerNorm
+    params after x and computes out = x + mixer(LN(x)) — the whole pre-LN
+    mixer half of a Swin block in one kernel (LN read/write + residual
+    read/add were separate HBM passes over the stage-0 tensor)."""
+
+    def kernel(x_ref, *refs):
+        if ln:
+            (g_ref, bln_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref,
+             wo_ref, bo_ref, o_ref, zpad_scr, gpad_scr) = refs
+        else:
+            (win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, bo_ref,
+             o_ref, zpad_scr, gpad_scr) = refs
         bb = x_ref.shape[0]
-        x = x_ref[...].astype(jnp.float32)
-        *_, v2 = _fwd_body(x, win_ref[...], bin_ref[...], ws_ref[...],
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            y, _, _ = _ln_fwd(x32, g_ref[0][None, None, :],
+                              bln_ref[0][None, None, :])
+        else:
+            y = x32
+        *_, v2 = _fwd_body(y, win_ref[...], bin_ref[...], ws_ref[...],
                            bs_ref[...], kl_ref[...], zpad_scr, gpad_scr,
                            V, C, dt)
         out = _dot(v2.reshape(bb * V, C), wo_ref[...], dt) + bo_ref[0][None, :]
-        o_ref[...] = out.reshape(bb, V, C).astype(o_ref.dtype)
+        out = out.reshape(bb, V, C)
+        if ln:
+            out = out + x32
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -161,7 +191,7 @@ def _weight_specs(C, K, V):
     ]
 
 
-def _fwd(x, win, bin_, ws, bs, kl, wo, bo):
+def _fwd(x, win, bin_, ws, bs, kl, wo, bo, ln=None):
     BW, V, C = x.shape
     dt = x.dtype
     bb = _pick_bb(V, C, bwd=False)
@@ -170,10 +200,13 @@ def _fwd(x, win, bin_, ws, bs, kl, wo, bo):
     grid = ((BW + pad) // bb,)
     K = ws.shape[0]
 
+    ln_specs = ([pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else [])
+    ln_args = tuple(ln) if ln else ()
     out = pl.pallas_call(
-        _make_fwd_kernel(V, C, dt),
+        _make_fwd_kernel(V, C, dt, ln=ln is not None),
         grid=grid,
         in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_specs
         + _weight_specs(C, K, V)
         + [
             pl.BlockSpec((C, C), lambda i: (0, 0)),
@@ -187,7 +220,7 @@ def _fwd(x, win, bin_, ws, bs, kl, wo, bo):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(xp, win, bin_, ws, bs, kl, wo, bo)
+    )(xp, *ln_args, win, bin_, ws, bs, kl, wo, bo)
     return out[:BW]
 
 
@@ -195,14 +228,24 @@ def _fwd(x, win, bin_, ws, bs, kl, wo, bo):
 # Backward
 # --------------------------------------------------------------------------- #
 
-def _make_bwd_kernel(V, C, K, dt):
-    def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, g_ref,
-               dx_ref, dwin_ref, dbin_ref, dws_ref, dbs_ref, dkl_ref,
-               dwo_ref, dbo_ref, zpad_scr, gpad_scr, tpad_scr):
+def _make_bwd_kernel(V, C, K, dt, ln: bool = False):
+    def kernel(x_ref, *refs):
+        if ln:
+            (g_ref, bln_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref,
+             wo_ref, do_ref, dx_ref, dgln_ref, dbln_ref, dwin_ref, dbin_ref,
+             dws_ref, dbs_ref, dkl_ref, dwo_ref, dbo_ref,
+             zpad_scr, gpad_scr, tpad_scr) = refs
+        else:
+            (win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, do_ref,
+             dx_ref, dwin_ref, dbin_ref, dws_ref, dbs_ref, dkl_ref,
+             dwo_ref, dbo_ref, zpad_scr, gpad_scr, tpad_scr) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
+            if ln:
+                dgln_ref[...] = jnp.zeros_like(dgln_ref)
+                dbln_ref[...] = jnp.zeros_like(dbln_ref)
             dwin_ref[...] = jnp.zeros_like(dwin_ref)
             dbin_ref[...] = jnp.zeros_like(dbin_ref)
             dws_ref[...] = jnp.zeros_like(dws_ref)
@@ -212,14 +255,19 @@ def _make_bwd_kernel(V, C, K, dt):
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
         bb = x_ref.shape[0]
-        x = x_ref[...].astype(jnp.float32)
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            gln = g_ref[0][None, None, :]
+            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+        else:
+            y = x32
         win, bin_, ws, bs, kl = (win_ref[...], bin_ref[...], ws_ref[...],
                                  bs_ref[...], kl_ref[...])
         # recompute; zpad_scr holds [0|z], gpad_scr holds [0|g] afterwards
         z, zc, x1, x2, v, g, vl, v2 = _fwd_body(
-            x, win, bin_, ws, bs, kl, zpad_scr, gpad_scr, V, C, dt)
+            y, win, bin_, ws, bs, kl, zpad_scr, gpad_scr, V, C, dt)
 
-        do = g_ref[...].astype(jnp.float32)
+        do = do_ref[...].astype(jnp.float32)
         do2d = do.reshape(bb * V, C)
         dwo_ref[...] += _dot_tt(v2.reshape(bb * V, C), do2d, dt)
         dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
@@ -242,15 +290,26 @@ def _make_bwd_kernel(V, C, K, dt):
 
         dz2d = dz.reshape(bb * V, 3 * C)
         dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
-        dwin_ref[...] += _dot_tt(x.reshape(bb * V, C), dz2d, dt)
-        dx = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        dwin_ref[...] += _dot_tt(y.reshape(bb * V, C), dz2d, dt)
+        dy = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        if ln:
+            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0])
+            dgln_ref[...] += dgln
+            dbln_ref[...] += dbln2
+            dx = dx + do           # residual branch
+        else:
+            dx = dy
         dx_ref[...] = dx.astype(dx_ref.dtype)
 
     return kernel
 
 
-def _bwd(res, do):
-    x, win, bin_, ws, bs, kl, wo = res
+def _bwd_impl(res, do, ln: bool):
+    if ln:
+        x, gln, bln, win, bin_, ws, bs, kl, wo = res
+        ln_args = (gln, bln)
+    else:
+        x, win, bin_, ws, bs, kl, wo = res
     BW, V, C = x.shape
     dt = x.dtype
     K = ws.shape[0]
@@ -260,17 +319,25 @@ def _bwd(res, do):
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
     grid = ((BW + pad) // bb,)
 
+    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    ln_in_specs = [vec_c, vec_c] if ln else []
+    ln_out_specs = [vec_c, vec_c] if ln else []
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+                     if ln else [])
+
     outs = pl.pallas_call(
-        _make_bwd_kernel(V, C, K, dt),
+        _make_bwd_kernel(V, C, K, dt, ln=ln),
         grid=grid,
         in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_in_specs
         + _weight_specs(C, K, V)
         + [
             pl.BlockSpec((C, C), lambda i: (0, 0)),
             pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_out_specs
+        + [
             pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
@@ -279,8 +346,9 @@ def _bwd(res, do):
             pl.BlockSpec((C, C), lambda i: (0, 0)),
             pl.BlockSpec((1, C), lambda i: (0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        + ln_out_shapes
+        + [
             jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
@@ -296,8 +364,12 @@ def _bwd(res, do):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(xp, win, bin_, ws, bs, kl, wo, dop)
+    )(xp, *(ln_args if ln else ()), win, bin_, ws, bs, kl, wo, dop)
 
+    if ln:
+        dx, dgln, dbln, dwin, dbin, dws, dbs, dkl, dwo, dbo = outs
+        return (dx[:BW], dgln, dbln, dwin.astype(win.dtype), dbin, dws, dbs,
+                dkl, dwo.astype(wo.dtype), dbo)
     dx, dwin, dbin, dws, dbs, dkl, dwo, dbo = outs
     # cotangents match the args as passed to _mixer_core (the wrapper's
     # flip/transpose/fold transforms outside the custom_vjp carry their own
@@ -316,12 +388,25 @@ def _fwd_rule(x, win, bin_, ws, bs, kl, wo, bo):
     return out, (x, win, bin_, ws, bs, kl, wo)
 
 
-_mixer_core.defvjp(_fwd_rule, _bwd)
+_mixer_core.defvjp(_fwd_rule, lambda res, do: _bwd_impl(res, do, ln=False))
+
+
+@jax.custom_vjp
+def _mixer_core_ln(x, gln, bln, win, bin_, ws, bs, kl, wo, bo):
+    return _fwd(x, win, bin_, ws, bs, kl, wo, bo, ln=(gln, bln))
+
+
+def _fwd_rule_ln(x, gln, bln, win, bin_, ws, bs, kl, wo, bo):
+    out = _fwd(x, win, bin_, ws, bs, kl, wo, bo, ln=(gln, bln))
+    return out, (x, gln, bln, win, bin_, ws, bs, kl, wo)
+
+
+_mixer_core_ln.defvjp(_fwd_rule_ln, lambda res, do: _bwd_impl(res, do, ln=True))
 
 
 def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
-                       w_out, b_out):
-    """Fused hyena window mixer.
+                       w_out, b_out, ln_scale=None, ln_bias=None):
+    """Fused hyena window mixer, optionally with in-kernel pre-LN + residual.
 
     Args:
       x: (BW, V, C) windowed tokens, V <= 64.
@@ -330,6 +415,9 @@ def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
       k_long: (C, V) implicit long filter (channel-major like the composed
         path's k_full); b_long: (C,) fftconv skip weight.
       w_out: (C, C); b_out: (C,).
+      ln_scale/ln_bias: optional (C,) LayerNorm params. When given, computes
+        x + mixer(LN(x)) — the whole pre-LN mixer half of a Swin block in one
+        kernel (the composed LN / residual were 2 extra HBM passes each way).
 
     Returns (BW, V, C) in x.dtype. Matches
     out_proj(postgate(L(pregate(conv(in_proj(x)))))) of the composed path
@@ -341,6 +429,13 @@ def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
     # long conv taps are k rows; the skip term bias*u is the tau=0 tap
     kl = k_long.astype(jnp.float32).T                            # (V, C)
     kl = kl.at[0].add(b_long.astype(jnp.float32))
+    if ln_scale is not None:
+        return _mixer_core_ln(
+            x, ln_scale.astype(jnp.float32)[None, :],
+            ln_bias.astype(jnp.float32)[None, :],
+            w_in, b_in.astype(jnp.float32)[None, :],
+            ws, b_short.astype(jnp.float32)[None, :], kl,
+            w_out, b_out.astype(jnp.float32)[None, :])
     return _mixer_core(x, w_in, b_in.astype(jnp.float32)[None, :],
                        ws, b_short.astype(jnp.float32)[None, :], kl,
                        w_out, b_out.astype(jnp.float32)[None, :])

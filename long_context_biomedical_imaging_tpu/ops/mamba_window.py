@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_mlp import _ln_bwd, _ln_fwd
+
 _LOG2E = math.log2(math.e)
 
 MAMBA_WINDOW_MAX_LEN = 64
@@ -196,15 +198,26 @@ def _fill_chunked(scr, val, Dh):
 # Forward kernel
 # --------------------------------------------------------------------------- #
 
-def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
+def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
     nd = N * Dc
     _dot32 = _make_dot32(dt)
 
-    def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
-               at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
-               pad_scr, x_scr, dtv_scr, y_scr, a_scr, c_scr):
+    def kernel(x_ref, *refs):
+        if ln:
+            (gln_ref, bln_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref,
+             dtb2_ref, at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
+             pad_scr, x_scr, dtv_scr, y_scr, a_scr, c_scr) = refs
+        else:
+            (wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
+             at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
+             pad_scr, x_scr, dtv_scr, y_scr, a_scr, c_scr) = refs
         bb = x_ref.shape[0]
-        x_in = x_ref[...].astype(jnp.float32)
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            x_in, _, _ = _ln_fwd(x32, gln_ref[0][None, None, :],
+                                 bln_ref[0][None, None, :])
+        else:
+            x_in = x32
         xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
             x_in, wxz_ref[...], wconv_ref[...], wdbl_ref[...], wdt_ref[...],
             dtb2_ref[...], pad_scr, V, C, Dh, R, N, dt)
@@ -241,8 +254,10 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
 
         y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
         yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
-        out = _dot(yz2, wout_ref[...], dt)
-        o_ref[...] = out.reshape(bb, V, C).astype(o_ref.dtype)
+        out = _dot(yz2, wout_ref[...], dt).reshape(bb, V, C)
+        if ln:
+            out = out + x32
+        o_ref[...] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -251,20 +266,32 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
 # Backward kernel
 # --------------------------------------------------------------------------- #
 
-def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
+def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
     nd = N * Dc
     _dot32 = _make_dot32(dt)
 
-    def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
-               at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref, g_ref,
-               dx_ref, dwxz_ref, dwconv_ref, dwdbl_ref, dwdt_ref, ddtb_ref,
-               dat_ref, ddskip_ref, dwout_ref,
-               pad_scr, x_scr, dtv_scr, y_scr, a_scr, h_scr, hp_scr, cg_scr,
-               dxs_scr, ddt_scr, dB_scr, dC_scr):
+    def kernel(x_ref, *refs):
+        if ln:
+            (gln_ref, bln_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref,
+             dtb2_ref, at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref,
+             g_ref, dx_ref, dgln_ref, dbln_ref, dwxz_ref, dwconv_ref,
+             dwdbl_ref, dwdt_ref, ddtb_ref, dat_ref, ddskip_ref, dwout_ref,
+             pad_scr, x_scr, dtv_scr, y_scr, a_scr, h_scr, hp_scr, cg_scr,
+             dxs_scr, ddt_scr, dB_scr, dC_scr) = refs
+        else:
+            (wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
+             at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref, g_ref,
+             dx_ref, dwxz_ref, dwconv_ref, dwdbl_ref, dwdt_ref, ddtb_ref,
+             dat_ref, ddskip_ref, dwout_ref,
+             pad_scr, x_scr, dtv_scr, y_scr, a_scr, h_scr, hp_scr, cg_scr,
+             dxs_scr, ddt_scr, dB_scr, dC_scr) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
+            if ln:
+                dgln_ref[...] = jnp.zeros_like(dgln_ref)
+                dbln_ref[...] = jnp.zeros_like(dbln_ref)
             dwxz_ref[...] = jnp.zeros_like(dwxz_ref)
             dwconv_ref[...] = jnp.zeros_like(dwconv_ref)
             dwdbl_ref[...] = jnp.zeros_like(dwdbl_ref)
@@ -275,7 +302,12 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
             dwout_ref[...] = jnp.zeros_like(dwout_ref)
 
         bb = x_ref.shape[0]
-        x_in = x_ref[...].astype(jnp.float32)
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            gln = gln_ref[0][None, None, :]
+            x_in, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+        else:
+            x_in = x32
         xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
             x_in, wxz_ref[...], wconv_ref[...], wdbl_ref[...], wdt_ref[...],
             dtb2_ref[...], pad_scr, V, C, Dh, R, N, dt)
@@ -394,8 +426,15 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt):
         dxz = _same_conv3(pad_scr, du_conv, wconv_ref[...], V, transpose=True)
         dxz2 = dxz.reshape(bb * V, C)
         dwxz_ref[...] += _dot_tt(x_in.reshape(bb * V, C), dxz2, dt)
-        dx_ref[...] = _dot_t(dxz2, wxz_ref[...], dt) \
-            .reshape(bb, V, C).astype(dx_ref.dtype)
+        dxin = _dot_t(dxz2, wxz_ref[...], dt).reshape(bb, V, C)
+        if ln:
+            dx, dgln, dbln = _ln_bwd(dxin, xhat, rstd, gln[0])
+            dgln_ref[...] += dgln
+            dbln_ref[...] += dbln
+            dx = dx + do               # residual branch
+        else:
+            dx = dxin
+        dx_ref[...] = dx.astype(dx_ref.dtype)
 
     return kernel
 
@@ -435,7 +474,7 @@ def _weight_specs(C, Dh, R, N, nd, n_j):
     ]
 
 
-def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
+def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N, ln=None):
     BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
     nd = N * Dc
     dt = x.dtype
@@ -444,11 +483,13 @@ def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     E, _ = _expand_reduce(N, Dc)
     Fn = _reduce_over_n(N, Dc)
+    ln_specs = [pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else []
 
     out = pl.pallas_call(
-        _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt),
+        _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln=ln is not None),
         grid=((BW + pad) // bb,),
         in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_specs
         + _weight_specs(C, Dh, R, N, nd, n_j)
         + [
             pl.BlockSpec((N, nd), lambda i: (0, 0)),
@@ -466,12 +507,18 @@ def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(xp, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, E, Fn)
+    )(xp, *(tuple(ln) if ln else ()), wxz, wconv, wdbl, wdt, dtb2, at_chunks,
+      dskip, wout, E, Fn)
     return out[:BW]
 
 
-def _bwd(N, res, do):
-    x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout = res
+def _bwd_impl(N, res, do, ln: bool):
+    if ln:
+        x, gln, bln, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout = res
+        ln_args = (gln, bln)
+    else:
+        x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout = res
+        ln_args = ()
     BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
     nd = N * Dc
     dt = x.dtype
@@ -482,10 +529,16 @@ def _bwd(N, res, do):
     E, Fr = _expand_reduce(N, Dc)
     Fn = _reduce_over_n(N, Dc)
 
+    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    ln_specs = [vec_c, vec_c] if ln else []
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+                     if ln else [])
+
     outs = pl.pallas_call(
-        _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt),
+        _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln=ln),
         grid=((BW + pad) // bb,),
         in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_specs
         + _weight_specs(C, Dh, R, N, nd, n_j)
         + [
             pl.BlockSpec((N, nd), lambda i: (0, 0)),
@@ -493,8 +546,9 @@ def _bwd(N, res, do):
             pl.BlockSpec((nd, N), lambda i: (0, 0)),
             pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_specs
+        + [
             pl.BlockSpec((C, C), lambda i: (0, 0)),
             pl.BlockSpec((3, C), lambda i: (0, 0)),
             pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
@@ -504,8 +558,9 @@ def _bwd(N, res, do):
             pl.BlockSpec((1, Dh), lambda i: (0, 0)),
             pl.BlockSpec((C, C), lambda i: (0, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        + ln_out_shapes
+        + [
             jax.ShapeDtypeStruct((C, C), jnp.float32),
             jax.ShapeDtypeStruct((3, C), jnp.float32),
             jax.ShapeDtypeStruct((Dh, R + 2 * N), jnp.float32),
@@ -531,8 +586,15 @@ def _bwd(N, res, do):
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(xp, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, E, Fn, Fr, dop)
+    )(xp, *ln_args, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout,
+      E, Fn, Fr, dop)
 
+    if ln:
+        (dx, dgln, dbln, dwxz, dwconv, dwdbl, dwdt, ddtb, dat, ddskip,
+         dwout) = outs
+        return (dx[:BW], dgln, dbln, dwxz.astype(wxz.dtype), dwconv,
+                dwdbl.astype(wdbl.dtype), dwdt.astype(wdt.dtype), ddtb, dat,
+                ddskip, dwout.astype(wout.dtype))
     (dx, dwxz, dwconv, dwdbl, dwdt, ddtb, dat, ddskip, dwout) = outs
     return (dx[:BW], dwxz.astype(wxz.dtype), dwconv,
             dwdbl.astype(wdbl.dtype), dwdt.astype(wdt.dtype), ddtb, dat,
@@ -549,12 +611,34 @@ def _fwd_rule(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N):
     return out, (x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout)
 
 
-_mixer_core.defvjp(_fwd_rule, _bwd)
+_mixer_core.defvjp(_fwd_rule,
+                   lambda N, res, do: _bwd_impl(N, res, do, ln=False))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _mixer_core_ln(x, gln, bln, wxz, wconv, wdbl, wdt, dtb2, at_chunks,
+                   dskip, wout, N):
+    return _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N,
+                ln=(gln, bln))
+
+
+def _fwd_rule_ln(x, gln, bln, wxz, wconv, wdbl, wdt, dtb2, at_chunks,
+                 dskip, wout, N):
+    out = _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N,
+               ln=(gln, bln))
+    return out, (x, gln, bln, wxz, wconv, wdbl, wdt, dtb2, at_chunks,
+                 dskip, wout)
+
+
+_mixer_core_ln.defvjp(_fwd_rule_ln,
+                      lambda N, res, do: _bwd_impl(N, res, do, ln=True))
 
 
 def mamba_window_mixer(x, w_xz, w_conv_x, w_conv_z, w_dbl, w_dt, dt_bias,
-                       A, D, w_out, d_state: int):
-    """Fused MambaVision window mixer.
+                       A, D, w_out, d_state: int,
+                       ln_scale=None, ln_bias=None):
+    """Fused MambaVision window mixer, optionally with in-kernel pre-LN +
+    residual.
 
     Args:
       x: (BW, V, C) windowed tokens, 16 <= V <= 64, V % 8 == 0.
@@ -565,6 +649,9 @@ def mamba_window_mixer(x, w_xz, w_conv_x, w_conv_z, w_dbl, w_dt, dt_bias,
         bias AND selective_scan delta_bias).
       A: (C/2, d_state) negative decay matrix; D: (C/2,) skip.
       w_out: (C, C) out_proj (no bias).
+      ln_scale/ln_bias: optional (C,) LayerNorm params. When given, computes
+        x + mixer(LN(x)) — the whole pre-LN mixer half of a Swin block in one
+        kernel (the composed LN / residual were 2 extra HBM passes each way).
 
     Returns (BW, V, C) in x.dtype.
     """
@@ -575,5 +662,10 @@ def mamba_window_mixer(x, w_xz, w_conv_x, w_conv_z, w_dbl, w_dt, dt_bias,
     wconv = jnp.concatenate([w_conv_x, w_conv_z], axis=0).astype(jnp.float32).T
     at_chunks = _chunk_at(A.astype(jnp.float32).T, Dc, n_j)
     dtb2 = 2.0 * dt_bias.astype(jnp.float32)[None, :]
+    if ln_scale is not None:
+        return _mixer_core_ln(x, ln_scale.astype(jnp.float32)[None, :],
+                              ln_bias.astype(jnp.float32)[None, :],
+                              w_xz, wconv, w_dbl, w_dt, dtb2, at_chunks,
+                              D.astype(jnp.float32)[None, :], w_out, d_state)
     return _mixer_core(x, w_xz, wconv, w_dbl, w_dt, dtb2, at_chunks,
                        D.astype(jnp.float32)[None, :], w_out, d_state)

@@ -1,0 +1,293 @@
+"""Attribute time inside the fused Pallas kernels: benchmark forward-kernel
+variants with individual stages disabled (at the ptx stage-0 shape by
+default). The deltas tell us which in-kernel op holds the kernel off its
+roofline (the grid/block sweep already ruled out grid overhead).
+
+Usage: python scripts/bench_kernel_anatomy.py --op hyena|mlp
+       [--bw 65536] [--v 16] [--c 96] [--bb 0]
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, chain=20):
+    out = fn()
+    float(out.ravel()[0])
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        float(o.ravel()[0])
+        return time.perf_counter() - t0
+
+    t_small = run(3)
+    t_large = run(3 + chain)
+    return (t_large - t_small) / chain * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default="hyena")
+    ap.add_argument("--bw", type=int, default=65536)
+    ap.add_argument("--v", type=int, default=16)
+    ap.add_argument("--c", type=int, default=96)
+    ap.add_argument("--bb", type=int, default=0)
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rng = jax.random.PRNGKey(0)
+
+    if a.op == "hyena":
+        from long_context_biomedical_imaging_tpu.ops import hyena_window as Hy
+        BW, V, C = a.bw, a.v, a.c
+        bb = a.bb or Hy._pick_bb(V, C, bwd=False)
+        K = 5
+        x = jax.random.normal(rng, (BW, V, C), jnp.bfloat16)
+        win = jax.random.normal(rng, (C, 3 * C), jnp.bfloat16) * 0.05
+        bin_ = jnp.zeros((1, 3 * C), jnp.float32)
+        ws = jax.random.normal(rng, (K, 3 * C), jnp.float32) * 0.1
+        bs = jnp.zeros((1, 3 * C), jnp.float32)
+        kl = jax.random.normal(rng, (V, C), jnp.float32) * 0.1
+        wo = jax.random.normal(rng, (C, C), jnp.bfloat16) * 0.05
+        bo = jnp.zeros((1, C), jnp.float32)
+        dt = jnp.bfloat16
+
+        # block-banded matmul form of the long conv: Wl[t*C+c, u*C+c] =
+        # kl[u-t, c] for u >= t; vl.2d = g.2d @ Wl rides the (idle) MXU.
+        import numpy as np
+        Wl_np = np.zeros((V * C, V * C), np.float32)
+        kl_np = np.asarray(kl)
+        for t_ in range(V):
+            for u_ in range(t_, V):
+                Wl_np[t_ * C:(t_ + 1) * C, u_ * C:(u_ + 1) * C] = \
+                    np.diag(kl_np[u_ - t_])
+        Wl = jnp.asarray(Wl_np, jnp.bfloat16)
+
+        W4 = jnp.asarray(Wl_np.reshape(V, C, V * C), jnp.bfloat16)
+
+        # 128-lane-padded banded weight: Cp=128 channels per token row
+        Cp = 128
+        Wp_np = np.zeros((V * Cp, V * Cp), np.float32)
+        for t_ in range(V):
+            for u_ in range(t_, V):
+                Wp_np[t_ * Cp:t_ * Cp + C, u_ * Cp:u_ * Cp + C] =                     np.diag(kl_np[u_ - t_])
+        Wp = jnp.asarray(Wp_np, jnp.bfloat16)
+
+        def conv_roll(xv, taps):
+            # rolled[u] = xv[u-m (mod V)]; rows u < m carry wrapped values ->
+            # mask them with an iota-vs-m select before the MAC
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, V, 1), 1)
+            y = xv * taps[0][None, None, :]
+            for m in range(1, taps.shape[0]):
+                rolled = pltpu.roll(xv, m, 1)
+                rolled = jnp.where(row >= m, rolled, 0.0)
+                y = y + rolled * taps[m][None, None, :]
+            return y
+
+        def conv_roll2d(xv, taps):
+            # operate on the (nb*V, C) 2D form: sublane roll mixes across
+            # window boundaries, so mask rows with (row_in_window < m)
+            nb = xv.shape[0]
+            x2 = xv.reshape(nb * V, C)
+            row = jax.lax.broadcasted_iota(jnp.int32, (nb * V, 1), 0) % V
+            y2 = x2 * taps[0][None, :]
+            for m in range(1, taps.shape[0]):
+                rolled = pltpu.roll(x2, m, 0)
+                rolled = jnp.where(row >= m, rolled, 0.0)
+                y2 = y2 + rolled * taps[m][None, :]
+            return y2.reshape(nb, V, C)
+
+        def conv_pad(xv, taps):
+            y = xv * taps[0][None, None, :]
+            for m in range(1, taps.shape[0]):
+                sh = jnp.pad(xv, ((0, 0), (m, 0), (0, 0)))[:, :V, :]
+                y = y + sh * taps[m][None, None, :]
+            return y
+
+        def conv_aligned(pad_ref, xv, taps):
+            # m = 8a + r: one aligned shift-by-8 read, then 7 unaligned
+            # shifts of the two-term combination
+            pad_ref[:, :V, :] = jnp.zeros_like(xv)
+            pad_ref[:, V:, :] = xv
+            x8 = pad_ref[:, V - 8:2 * V - 8, :]
+            y = xv * taps[0][None, None, :] + x8 * taps[8][None, None, :]
+            for r in range(1, 8):
+                u = (xv * taps[r][None, None, :]
+                     + x8 * taps[8 + r][None, None, :])
+                pad_ref[:, V:, :] = u
+                y = y + pad_ref[:, V - r:2 * V - r, :]
+            return y
+
+        def make(variant):
+            def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref,
+                       wl_ref, wp_ref, wo_ref, bo_ref, o_ref, zpad_scr,
+                       gpad_scr):
+                nb = x_ref.shape[0]
+                xx = x_ref[...].astype(jnp.float32)
+                if variant == "copy":
+                    o_ref[...] = xx[..., :C].astype(o_ref.dtype)
+                    return
+                z = Hy._dot(xx.reshape(nb * V, C), win_ref[...], dt)
+                z = (z + bin_ref[0][None, :]).reshape(nb, V, 3 * C)
+                if variant == "inproj":
+                    o_ref[...] = z[..., :C].astype(o_ref.dtype)
+                    return
+                zc = Hy._causal_mac(zpad_scr, z, ws_ref[...], V)
+                zc = zc + bs_ref[0][None, None, :]
+                x1 = zc[:, :, :C]
+                x2 = zc[:, :, C:2 * C]
+                v = zc[:, :, 2 * C:]
+                g = v * x1
+                if variant == "full":
+                    vl = Hy._causal_mac(gpad_scr, g, kl_ref[...], V)
+                elif variant == "long-concat":
+                    vl = conv_concat(g, kl_ref[...])
+                elif variant == "long-aligned":
+                    vl = conv_aligned(gpad_scr, g, kl_ref[...])
+                elif variant == "long-pad":
+                    vl = conv_pad(g, kl_ref[...])
+                elif variant == "long-roll":
+                    vl = conv_roll(g, kl_ref[...])
+                elif variant == "long-roll2d":
+                    vl = conv_roll2d(g, kl_ref[...])
+                elif variant == "long-matmul128":
+                    gp = jnp.pad(g, ((0, 0), (0, 0), (0, Cp - C)))
+                    g2 = gp.reshape(nb, V * Cp)
+                    vl2 = Hy._dot(g2, wp_ref[...], dt)
+                    vl = vl2.reshape(nb, V, Cp)[:, :, :C]
+                elif variant == "long-noshift":
+                    taps = kl_ref[...]
+                    vl = g * taps[0][None, None, :]
+                    for m in range(1, V):
+                        vl = vl + g * taps[m][None, None, :]
+                elif variant == "long-noshift2d":
+                    taps = kl_ref[...]
+                    g2 = g.reshape(nb * V, C)
+                    vl2 = g2 * taps[0][None, :]
+                    for m in range(1, V):
+                        vl2 = vl2 + g2 * taps[m][None, :]
+                    vl = vl2.reshape(nb, V, C)
+                elif variant == "long-dge":
+                    vl = jax.lax.dot_general(
+                        g.astype(dt), wl_ref[...].reshape(V, C, V * C),
+                        (((1, 2), (0, 1)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    vl = vl.reshape(nb, V, C)
+                else:                       # nolong
+                    vl = g
+                v2 = vl * x2
+                out = Hy._dot(v2.reshape(nb * V, C), wo_ref[...], dt) \
+                    + bo_ref[0][None, :]
+                o_ref[...] = out.reshape(nb, V, C).astype(o_ref.dtype)
+
+            return kernel
+
+        def build(variant):
+            return jax.jit(lambda xx: pl.pallas_call(
+                make(variant),
+                grid=(BW // bb,),
+                in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+                + Hy._weight_specs(C, K, V)
+                + [pl.BlockSpec((V * C, V * C), lambda i: (0, 0)),
+                   pl.BlockSpec((V * 128, V * 128), lambda i: (0, 0)),
+                   pl.BlockSpec((C, C), lambda i: (0, 0)),
+                   pl.BlockSpec((1, C), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BW, V, C), xx.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+                    pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+                ],
+                compiler_params=Hy._compiler_params(),
+            )(xx, win, bin_, ws, bs, kl, Wl, Wp, wo, bo))
+
+        print(f"hyena fwd anatomy at ({BW},{V},{C}), bb={bb}:")
+        for variant in ("copy", "inproj", "nolong", "long-matmul128",
+                        "full"):
+            try:
+                f = build(variant)
+                ms = timeit(lambda: f(x))
+                print(f"  {variant:14s} {ms:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  {variant:14s} FAILED: {str(e)[:120]}", flush=True)
+
+        # numeric check: matmul conv vs tap conv
+        try:
+            da = np.asarray(build("full")(x), np.float32)
+            dm = np.asarray(build("long-matmul128")(x), np.float32)
+            print(f"  matmul-vs-taps max abs diff: {np.abs(da - dm).max():.4f} "
+                  f"(scale {np.abs(da).max():.1f})")
+        except Exception as e:
+            print(f"  check FAILED: {str(e)[:120]}")
+
+    elif a.op == "mlp":
+        from long_context_biomedical_imaging_tpu.ops import fused_mlp as M
+        N, C, H = a.bw * a.v, a.c, 4 * a.c
+        bn = a.bb or M._pick_bn(C, H, bwd=False)
+        x = jax.random.normal(rng, (N, C), jnp.bfloat16)
+        w1 = jax.random.normal(rng, (C, H), jnp.bfloat16) * 0.05
+        b1 = jnp.zeros((1, H), jnp.float32)
+        w2 = jax.random.normal(rng, (H, C), jnp.bfloat16) * 0.05
+        b2 = jnp.zeros((1, C), jnp.float32)
+        dt = jnp.bfloat16
+
+        def make(variant):
+            def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+                xx = x_ref[...]
+                if variant == "copy":
+                    o_ref[...] = xx
+                    return
+                u = M._dot(xx, w1_ref[...], dt) + b1_ref[0][None, :]
+                if variant == "matmuls":
+                    h = u
+                elif variant == "relu":
+                    h = jnp.maximum(u, 0.0)
+                elif variant == "tanhgelu":
+                    # tanh-approx gelu
+                    c0 = 0.7978845608028654
+                    h = 0.5 * u * (1.0 + jnp.tanh(c0 * (u + 0.044715 * u ** 3)))
+                else:
+                    h = M._gelu(u)
+                out = M._dot(h, w2_ref[...], dt) + b2_ref[0][None, :]
+                o_ref[...] = out.astype(o_ref.dtype)
+
+            return kernel
+
+        def build(variant):
+            return jax.jit(lambda xx: pl.pallas_call(
+                make(variant),
+                grid=(N // bn,),
+                in_specs=[
+                    pl.BlockSpec((bn, C), lambda i: (i, 0)),
+                    pl.BlockSpec((C, H), lambda i: (0, 0)),
+                    pl.BlockSpec((1, H), lambda i: (0, 0)),
+                    pl.BlockSpec((H, C), lambda i: (0, 0)),
+                    pl.BlockSpec((1, C), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((bn, C), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((N, C), xx.dtype),
+                compiler_params=M._compiler_params(),
+            )(xx, w1, b1, w2, b2))
+
+        print(f"mlp fwd anatomy at ({N},{C}) H={H}, bn={bn}:")
+        for variant in ("copy", "matmuls", "relu", "tanhgelu", "erfgelu"):
+            f = build(variant)
+            ms = timeit(lambda: f(x))
+            print(f"  {variant:10s} {ms:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

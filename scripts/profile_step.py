@@ -130,15 +130,23 @@ def main():
                 and e.get("args", {}).get("name") == "XLA Ops":
             xla_tid = e["tid"]
     per_op = collections.Counter()
+    per_group = collections.Counter()
+    per_group_bytes = collections.Counter()
     per_bucket = collections.Counter()
     calls = collections.Counter()
+    gcalls = collections.Counter()
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") == tpu_pid and e.get("tid") == xla_tid:
             dur = e.get("dur", 0) / 1e3  # us -> ms
             name = e["name"]
+            group = re.sub(r"[.\d]+$", "", name)
             per_op[name] += dur
             calls[name] += 1
+            per_group[group] += dur
+            gcalls[group] += 1
+            per_group_bytes[group] += int(
+                e.get("args", {}).get("bytes_accessed", 0))
             per_bucket[classify(name)] += dur
             total += dur
     nsteps = a.steps
@@ -147,6 +155,13 @@ def main():
     print(f"{'ms/step':>9} {'%':>5} {'calls':>6}  op")
     for name, ms in per_op.most_common(a.top):
         print(f"{ms/nsteps:9.2f} {100*ms/total:5.1f} {calls[name]//nsteps:6d}  {name[:110]}")
+    print(f"\n--- grouped by op-name prefix ---")
+    print(f"{'ms/step':>9} {'%':>5} {'calls':>6} {'GB/step':>8} {'GB/s':>7}  group")
+    for g, ms in per_group.most_common(a.top):
+        gb = per_group_bytes[g] / nsteps / 1e9
+        bw = gb / (ms / nsteps / 1e3) if ms else 0.0
+        print(f"{ms/nsteps:9.2f} {100*ms/total:5.1f} {gcalls[g]//nsteps:6d} "
+              f"{gb:8.2f} {bw:7.0f}  {g[:100]}")
     print("\n--- buckets ---")
     for bkt, ms in per_bucket.most_common():
         print(f"{ms/nsteps:9.2f} {100*ms/total:5.1f}   {bkt}")

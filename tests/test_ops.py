@@ -307,6 +307,33 @@ def test_hyena_window_fused_parity(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
 
+    # ln variant: x + mixer(LN(x)) in one kernel == composed LN + mixer + add
+    ln_s, ln_b = mk((C,), 1.0), mk((C,), 0.2)
+
+    def composed_ln(x, ln_s, ln_b, *rest):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        return x + composed(y, *rest)
+
+    def fused_ln(x, ln_s, ln_b, *rest):
+        (w_in, b_in, w_short, b_short, k_long, b_long, w_out, b_out) = rest
+        return hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long,
+                                  b_long, w_out, b_out,
+                                  ln_scale=ln_s, ln_bias=ln_b)
+
+    args_ln = (x, ln_s, ln_b) + args[1:]
+    np.testing.assert_allclose(np.asarray(fused_ln(*args_ln)),
+                               np.asarray(composed_ln(*args_ln)),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(lambda *a: jnp.sum(fused_ln(*a) ** 2),
+                  argnums=tuple(range(11)))(*args_ln)
+    gc = jax.grad(lambda *a: jnp.sum(composed_ln(*a) ** 2),
+                  argnums=tuple(range(11)))(*args_ln)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
 
 def test_fused_mlp_parity(rng):
     """Fused Pallas MLP == Dense/gelu/Dense (fp32, interpret on CPU)."""
@@ -421,6 +448,31 @@ def test_mamba_window_fused_parity(rng):
                   argnums=tuple(range(10)))(*args)
     gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
                   argnums=tuple(range(10)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+    # ln variant: x + mixer(LN(x)) in one kernel == composed LN + mixer + add
+    ln_s, ln_b = mk((C,), 1.0), mk((C,), 0.2)
+
+    def composed_ln(x, ln_s, ln_b, *rest):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        return x + composed(y, *rest)
+
+    def fused_ln(x, ln_s, ln_b, *rest):
+        return mamba_window_mixer(x, *rest, d_state=N,
+                                  ln_scale=ln_s, ln_bias=ln_b)
+
+    args_ln = (x, ln_s, ln_b) + args[1:]
+    np.testing.assert_allclose(np.asarray(fused_ln(*args_ln)),
+                               np.asarray(composed_ln(*args_ln)),
+                               rtol=3e-5, atol=3e-5)
+    gf = jax.grad(lambda *a: jnp.sum(fused_ln(*a) ** 2),
+                  argnums=tuple(range(12)))(*args_ln)
+    gc = jax.grad(lambda *a: jnp.sum(composed_ln(*a) ** 2),
+                  argnums=tuple(range(12)))(*args_ln)
     for a, b in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
