@@ -20,8 +20,42 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .resize import adaptive_avg_pool, linear_resize
-from .unetr_blocks import ConvNd
+from .layers import fan_in_bias_init
+from .resize import adaptive_avg_pool, linear_resize, resize_conv
+from .unetr_blocks import ConvNd, torch_conv_kernel_init
+
+
+class _ResizeConvHead(nn.Module):
+    """linear_resize(align_corners=False) -> 3^r conv head, composed exactly
+    into coarse-grid matmuls (resize.resize_conv). Parameters live under
+    Conv_0/{kernel,bias} with ConvNd's torch-style init, so the tree is
+    identical to the ConvNd head this replaces."""
+
+    features: int
+    kernel_size: int
+    out_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        rank = x.ndim - 2
+        k = (self.kernel_size,) * rank
+        receptive = self.kernel_size ** rank
+        cin = x.shape[-1]
+
+        class _Params(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(s):
+                kernel = s.param("kernel", torch_conv_kernel_init,
+                                 (*k, cin, s.features))
+                bias = s.param("bias", fan_in_bias_init(cin * receptive),
+                               (s.features,))
+                return kernel, bias
+
+        kernel, bias = _Params(self.features, name="Conv_0")()
+        return resize_conv(x, kernel, bias, tuple(self.out_sizes),
+                           align_corners=False)
 
 
 class _ConvBNRelu(nn.Module):
@@ -121,8 +155,10 @@ class UperNet(nn.Module):
         feats[-1] = PSPModule(chans[-1], name="PPN")(feats[-1], use_running_average,
                                                      deterministic)
         x = FPNFuse(chans, name="FPN")(feats, use_running_average)
-        x = linear_resize(x, self.output_size, align_corners=False)
-        x = ConvNd(self.num_classes, 3, 1, use_bias=True, name="head")(x)
+        # resize-then-conv (ref order: seg_heads.py:271-274) composed into
+        # coarse-grid matmuls — see resize.resize_conv
+        x = _ResizeConvHead(self.num_classes, 3, self.output_size,
+                            name="head")(x)
         if self.spatial_dims == 2:
             x = x[:, None]  # add back time dim -> (B, 1, H, W, C)
         return x

@@ -265,6 +265,7 @@ def test_pallas_selective_scan_chunked_channels(rng):
                                    rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_hyena_window_fused_parity(rng):
     """Fused Pallas hyena mixer == composed in_proj/conv/gates/longconv/out_proj
     (fp32; interpret mode on the CPU mesh)."""
@@ -400,6 +401,7 @@ def test_fused_ln_mlp_residual_parity(rng):
                                    rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mamba_window_fused_parity(rng):
     """Fused Pallas mamba mixer == composed in_proj/conv/x_proj/scan/out_proj
     (fp32; interpret mode on the CPU mesh)."""
@@ -557,3 +559,47 @@ def test_toeplitz_long_conv_matches_fft(rng):
     for a, b in zip(gt, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_resize_conv_matches_composed(rng):
+    """resize_conv (coarse-grid composition of linear_resize -> conv) must
+    equal the materialized resize followed by a zero-padded conv, exactly,
+    including interpolation clamping and conv border padding."""
+    import jax.lax as lax
+
+    from long_context_biomedical_imaging_tpu.models.resize import (
+        linear_resize, resize_conv)
+
+    for rank, cin, cout, in_sz, out_sz in (
+            (2, 5, 3, (7, 9), (14, 18)),      # exact 2x
+            (2, 4, 1, (6, 5), (17, 13)),      # non-integer ratios, 1 class
+            (3, 6, 4, (4, 5, 6), (8, 10, 12))):
+        x = jnp.asarray(rng.normal(size=(2, *in_sz, cin)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3,) * rank + (cin, cout))
+                        .astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+        def composed(x, k, b):
+            up = linear_resize(x, out_sz, align_corners=False)
+            dn = lax.conv_dimension_numbers(
+                up.shape, k.shape,
+                ("NHWC", "HWIO", "NHWC") if rank == 2
+                else ("NDHWC", "DHWIO", "NDHWC"))
+            y = lax.conv_general_dilated(up, k, (1,) * rank,
+                                         [(1, 1)] * rank, dimension_numbers=dn)
+            return y + b
+
+        out_f = resize_conv(x, k, b, out_sz, align_corners=False)
+        out_c = composed(x, k, b)
+        assert out_f.shape == out_c.shape
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                                   rtol=2e-4, atol=2e-4)
+
+        gf = jax.grad(lambda *a: jnp.sum(
+            resize_conv(*a, out_sz, align_corners=False) ** 2),
+            argnums=(0, 1, 2))(x, k, b)
+        gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
+                      argnums=(0, 1, 2))(x, k, b)
+        for a_, b_ in zip(gf, gc):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
