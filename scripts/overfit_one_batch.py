@@ -1,0 +1,137 @@
+"""Overfit a single batch at full reference geometry on the real chip.
+
+Convergence-level validation of the fused-kernel + donated-state train path
+(VERDICT r2 item #5): a training step that only passes op-parity tests can
+still lose to a kernel-gradient integration bug; driving the loss of one
+fixed batch toward zero through run-of-the-mill `make_train_step` exercises
+the full fwd+bwd+adam chain exactly as run.py does.
+
+Usage: python scripts/overfit_one_batch.py --workload ptx [--steps 150]
+       [--lr 1e-3] | --workload all
+
+Prints loss at step 0/25/50/.../N and a PASS/FAIL verdict (final loss under
+--target, default 0.05x initial). Results are recorded in PARITY.md.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# full reference geometries (projects/run_*.sh; SURVEY.md §2.5)
+WORKLOADS = {
+    "ptx": dict(mixer="hyena", h=1024, w=1024, t=1, b=4, window=4, patch=2,
+                task="class", decoder="SwinLinear", cin=1, cout=2),
+    "micro": dict(mixer="mamba", h=1024, w=1024, t=1, b=4, window=4, patch=2,
+                  task="enhance", decoder="UperNet2D", cin=1, cout=1),
+    "vessel": dict(mixer="mamba", h=1024, w=1024, t=1, b=4, window=8, patch=2,
+                   task="seg", decoder="UperNet2D", cin=3, cout=2,
+                   remat=True),
+    "cmr": dict(mixer="hyena", h=128, w=128, t=32, b=16, window=8, patch=2,
+                task="enhance", decoder="UperNet3D", cin=2, cout=2,
+                remat=True),
+    "emb": dict(mixer="hyena", h=256, w=256, t=64, b=4, window=8, patch=2,
+                task="class", decoder="SwinLinear", cin=1, cout=2, remat=True),
+    "abct": dict(mixer="mamba", h=256, w=256, t=64, b=2, window=4, patch=2,
+                 task="seg", decoder="UperNet3D", cin=1, cout=10, remat=True),
+}
+
+
+def run_workload(name, cfg_dict, steps, lr, target_ratio):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from long_context_biomedical_imaging_tpu.losses import get_loss_func
+    from long_context_biomedical_imaging_tpu.models import build_model
+    from long_context_biomedical_imaging_tpu.optim import OptimManager
+    from long_context_biomedical_imaging_tpu.setup import check_args, parse_config
+    from long_context_biomedical_imaging_tpu.trainer import (
+        create_train_state, make_train_step)
+
+    a = argparse.Namespace(**cfg_dict)
+    remat = cfg_dict.get("remat", False)
+    argv = [
+        "--encoder_name=Swin", f"--decoder_name={a.decoder}",
+        f"--task_type={a.task}", f"--height={a.h}", f"--width={a.w}",
+        f"--time={a.t}", f"--no_in_channel={a.cin}",
+        f"--no_out_channel={a.cout}", f"--batch_size={a.b}",
+        "--scheduler_type=OneCycleLR", "--use_amp",
+        "--Swin.size=tiny", "--Swin.patch_size", str(a.patch),
+        "--Swin.window_size", str(a.window),
+        f"--Swin.use_hyena={a.mixer == 'hyena'}",
+        f"--Swin.use_mamba={a.mixer == 'mamba'}"]
+    if remat:
+        argv += ["--Swin.use_checkpoint=True"]
+    cfg = parse_config(argv=argv)
+    check_args(cfg)
+
+    loss_name = {"class": "CrossEntropy", "seg": "CrossEntropy",
+                 "enhance": "CombinationEnhance"}[a.task]
+    model = build_model(cfg)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(a.b, a.t, a.h, a.w, a.cin).astype(np.float32))
+    if a.task == "class":
+        labels = jnp.asarray(rs.randint(0, a.cout, size=(a.b,)), jnp.int32)
+    elif a.task == "seg":
+        labels = jnp.asarray(
+            rs.randint(0, a.cout, size=(a.b, a.t, a.h, a.w)), jnp.int32)
+    else:
+        labels = jnp.asarray(
+            rs.rand(a.b, a.t, a.h, a.w, a.cout).astype(np.float32))
+
+    init = jax.jit(model.init, static_argnames=("deterministic",))
+    variables = init(jax.random.PRNGKey(0), x, deterministic=True)
+    optim = OptimManager(cfg, num_train_samples=1000, world=1)
+    state = create_train_state(model, variables, optim.transform)
+    step = jax.jit(make_train_step(model, get_loss_func(loss_name),
+                                   optim.transform, use_amp=True),
+                   donate_argnums=(0,))
+    compiled = step.lower(state, x, labels, lr, jax.random.PRNGKey(1)).compile()
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss, _ = compiled(state, x, labels, lr, rng)
+        if i % 25 == 0 or i == steps - 1:
+            l = float(loss)
+            losses.append((i, l))
+            print(f"  [{name}] step {i:4d}: loss {l:.5f}", flush=True)
+            if not np.isfinite(l):
+                print(f"  [{name}] FAIL: non-finite loss")
+                return False
+    dt = time.perf_counter() - t0
+    first, last = losses[0][1], losses[-1][1]
+    ok = last <= max(first * target_ratio, 1e-3)
+    print(f"  [{name}] {'PASS' if ok else 'FAIL'}: {first:.4f} -> {last:.4f} "
+          f"({last / max(first, 1e-12):.3f}x) in {steps} steps, "
+          f"{dt:.0f}s wall", flush=True)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="all")
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--target", type=float, default=0.05,
+                    help="final/initial loss ratio to PASS")
+    args = ap.parse_args()
+
+    names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+    results = {}
+    for name in names:
+        print(f"== {name} ==", flush=True)
+        results[name] = run_workload(name, WORKLOADS[name], args.steps,
+                                     args.lr, args.target)
+    print("\nsummary:", {k: ("PASS" if v else "FAIL")
+                         for k, v in results.items()})
+    sys.exit(0 if all(results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,7 @@ def main():
     ap.add_argument("--patch", type=int, default=2)
     ap.add_argument("--task", default="class")
     ap.add_argument("--decoder", default="SwinLinear")
+    ap.add_argument("--dump-args", dest="dump_args", type=int, default=0)
     ap.add_argument("--cin", type=int, default=1)
     ap.add_argument("--cout", type=int, default=2)
     ap.add_argument("--remat", action="store_true")
@@ -130,6 +131,8 @@ def main():
                 and e.get("args", {}).get("name") == "XLA Ops":
             xla_tid = e["tid"]
     per_op = collections.Counter()
+    per_op_bytes = collections.Counter()
+    op_args = {}
     per_group = collections.Counter()
     per_group_bytes = collections.Counter()
     per_bucket = collections.Counter()
@@ -142,6 +145,9 @@ def main():
             name = e["name"]
             group = re.sub(r"[.\d]+$", "", name)
             per_op[name] += dur
+            per_op_bytes[name] += int(
+                e.get("args", {}).get("bytes_accessed", 0))
+            op_args.setdefault(name, e.get("args", {}))
             calls[name] += 1
             per_group[group] += dur
             gcalls[group] += 1
@@ -152,9 +158,18 @@ def main():
     nsteps = a.steps
     print(f"\n=== device XLA-op time over {nsteps} steps: {total:.1f} ms "
           f"({total/nsteps:.1f} ms/step) ===")
-    print(f"{'ms/step':>9} {'%':>5} {'calls':>6}  op")
+    print(f"{'ms/step':>9} {'%':>5} {'calls':>6} {'GB/step':>8} {'GB/s':>7}  op")
     for name, ms in per_op.most_common(a.top):
-        print(f"{ms/nsteps:9.2f} {100*ms/total:5.1f} {calls[name]//nsteps:6d}  {name[:110]}")
+        gb = per_op_bytes[name] / nsteps / 1e9
+        bw = gb / (ms / nsteps / 1e3) if ms else 0.0
+        print(f"{ms/nsteps:9.2f} {100*ms/total:5.1f} {calls[name]//nsteps:6d} "
+              f"{gb:8.2f} {bw:7.0f}  {name[:100]}")
+    if a.dump_args:
+        print("\n--- args of top ops ---")
+        for name, _ in per_op.most_common(a.dump_args):
+            info = {k: v for k, v in op_args[name].items()
+                    if k not in ("bytes_accessed",)}
+            print(f"  {name}: {str(info)[:600]}")
     print(f"\n--- grouped by op-name prefix ---")
     print(f"{'ms/step':>9} {'%':>5} {'calls':>6} {'GB/step':>8} {'GB/s':>7}  group")
     for g, ms in per_group.most_common(a.top):

@@ -7,6 +7,11 @@ suite on the real chip instead (single device; mesh paths collapse to 1).
 
 8 fake CPU devices exercise the same Mesh/pjit code paths as a v5e-8
 (SURVEY.md §4).
+
+Iteration speed: the ~19 tests over ~30s each (interpret-mode kernel parity
+at model scale, full-loop e2e) carry @pytest.mark.slow — `pytest -m "not
+slow"` runs the remaining suite in ~6 min on one CPU; CI / pre-commit runs
+the full suite (~25-35 min).
 """
 
 import os
@@ -35,3 +40,8 @@ if os.environ.get("LCBI_TEST_TPU"):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >30s interpret-mode/e2e test; skip with -m 'not slow'")

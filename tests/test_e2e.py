@@ -83,6 +83,7 @@ def test_e2e_classification(tmp_path):
     assert {"loss", "acc_1", "auroc", "f1"} <= set(metrics)
 
 
+@pytest.mark.slow
 def test_e2e_segmentation_swin(tmp_path):
     make_dataset(f"{tmp_path}/data", "seg", cout=3)
     args = base_args(tmp_path, "seg", "seg_run", loss_func="CrossEntropy",
@@ -108,6 +109,7 @@ def tiny_swin_args(window=2, use_hyena=False, use_mamba=False):
             f"--Swin.use_hyena={use_hyena}", f"--Swin.use_mamba={use_mamba}"]
 
 
+@pytest.mark.slow
 def test_e2e_classification_swin_hyena(tmp_path):
     """Full train/eval/checkpoint loop with the hyena mixer (the ptx workload
     shape: Swin + hyena + SwinLinear classification) so the fftconv/direct-conv
@@ -124,6 +126,7 @@ def test_e2e_classification_swin_hyena(tmp_path):
     assert os.path.exists(f"{run_dir}/val_metrics.txt")
 
 
+@pytest.mark.slow
 def test_e2e_segmentation_swin_mamba(tmp_path):
     """Full loop with the mamba mixer (the vessel workload shape: Swin + mamba
     + UperNet2D segmentation) so the selective-scan dispatch
@@ -140,6 +143,7 @@ def test_e2e_segmentation_swin_mamba(tmp_path):
     assert os.path.exists(f"{run_dir}/val_metrics.txt")
 
 
+@pytest.mark.slow
 def test_e2e_enhance_and_inference_only(tmp_path):
     make_dataset(f"{tmp_path}/data", "enhance", cout=1)
     # ViTUNETR taps hidden states 4/7/10 (ref: enhance_heads.py:335-356) so the

@@ -50,6 +50,7 @@ def test_vit_linear_class_2d(mixer):
     assert out.shape == (2, 2)
 
 
+@pytest.mark.slow
 def test_vit_upernet2d_seg():
     cfg = make_config(encoder_name="ViT", decoder_name="UperNet2D", task_type="seg",
                       height=32, width=32, time=1, no_in_channel=3, no_out_channel=4)
@@ -65,6 +66,7 @@ def test_vit_upernet2d_seg():
     assert out.shape == (2, 1, 32, 32, 4)
 
 
+@pytest.mark.slow
 def test_vit_unetr_enhance_2d():
     cfg = make_config(encoder_name="ViT", decoder_name="ViTUNETR", task_type="enhance",
                       height=32, width=32, time=1, no_in_channel=2, no_out_channel=1)
@@ -76,6 +78,7 @@ def test_vit_unetr_enhance_2d():
     assert out.shape == (2, 1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_vit_3d_upernet3d():
     cfg = make_config(encoder_name="ViT", decoder_name="UperNet3D", task_type="seg",
                       height=16, width=16, time=8, no_in_channel=1, no_out_channel=3)
@@ -108,11 +111,13 @@ def swin_cfg(decoder, task, mixer="attn", time=1, h=32, w=32, cin=1, cout=2):
 
 
 @pytest.mark.parametrize("mixer", ["attn", "hyena", "mamba"])
+@pytest.mark.slow
 def test_swin_linear_class_2d(mixer):
     out, _ = init_and_forward(swin_cfg("SwinLinear", "class", mixer))
     assert out.shape == (2, 2)
 
 
+@pytest.mark.slow
 def test_swin_upernet2d():
     cfg = swin_cfg("UperNet2D", "seg", cin=3, cout=5)
     model = build_model(cfg)
@@ -122,11 +127,13 @@ def test_swin_upernet2d():
     assert out.shape == (2, 1, 32, 32, 5)
 
 
+@pytest.mark.slow
 def test_swin_unetr_enhance_2d():
     out, _ = init_and_forward(swin_cfg("SwinUNETR", "enhance", cin=1, cout=1))
     assert out.shape == (2, 1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_swin_3d_upernet3d_mamba():
     cfg = swin_cfg("UperNet3D", "seg", mixer="mamba", time=16, h=16, w=16,
                    cin=1, cout=4)
@@ -137,6 +144,7 @@ def test_swin_3d_upernet3d_mamba():
     assert out.shape == (1, 16, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_swin_hidden_state_contract():
     cfg = swin_cfg("SwinLinear", "class")
     from long_context_biomedical_imaging_tpu.models import build_swin

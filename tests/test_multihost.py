@@ -1,3 +1,4 @@
+import pytest
 """2-process multi-host test: full run.py training + multi-host primitives.
 
 Spawns two subprocesses (tests/multihost_worker.py), each a separate JAX
@@ -27,6 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_training(tmp_path):
     make_dataset(f"{tmp_path}/data", "class", cout=2)
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")

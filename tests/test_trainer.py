@@ -105,6 +105,7 @@ def test_accumulation_tail_flushes(tmp_path):
 
 
 @pytest.mark.parametrize("mixer", ["hyena", "mamba"])
+@pytest.mark.slow
 def test_e2e_swin_mixers(tmp_path, mixer):
     """hyena/mamba mixers through the full train/eval/checkpoint loop, so the
     mixer dispatch thresholds run inside real configs (VERDICT r1 weak #5)."""

@@ -4,6 +4,7 @@ XLA attention with a materialized bias, through the full Swin backbone
 (shifted blocks included)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,7 @@ def test_fused_equals_xla_reference(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match(rng):
     """Gradients (incl. the relative-position table and the in-kernel
     qkv/out projection weights) through the fused kernel match XLA."""
