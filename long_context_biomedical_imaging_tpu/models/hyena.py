@@ -142,7 +142,7 @@ class HyenaOperator(nn.Module):
         k_full = jnp.tile(k.T, (self.num_heads, 1))       # (d, l)
         bias_full = jnp.tile(filt.bias, self.num_heads)   # (d,)
 
-        if hyena_window_supported(l) and \
+        if hyena_window_supported(l, d) and \
                 (self.dropout == 0.0 or deterministic):
             # windowed regime: one Pallas kernel for the whole mixer body —
             # the composed path streams the 3d-wide projection through HBM

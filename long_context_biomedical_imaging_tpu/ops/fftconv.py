@@ -56,12 +56,131 @@ def fft_causal_conv(u, k, bias=None):
     return y.astype(u.dtype)
 
 
+# --------------------------------------------------------------------------- #
+# Matmul-FFT: Cooley-Tukey four-step with MXU-matmul DFT stages
+# --------------------------------------------------------------------------- #
+#
+# The XLA TPU FFT measured ~15% efficient at the 16k-66k hyena lengths (the
+# Toeplitz matmul beat it 35x at L=512 but is O(L^2) — infeasible at 65k).
+# Instead: factor N = f1*...*fk (each <= 512) and run the classic four-step
+# recursion  X[k1 + f*k2] = DFT_{n2}( w_N^{k1 n2} * DFT_f(x[n2*n1 + n2']) )
+# where every DFT_f is ONE batched (f, f) real-matmul pair on the MXU and the
+# twiddles fuse into the matmul epilogue. The transform is kept in SCRAMBLED
+# (digit-reversed-by-stage) order — a fixed permutation P of the true DFT —
+# which is free for convolution: ifft_s(fft_s(u) * fft_s(k)) with matching
+# factor lists cancels P exactly, so no bit-reversal pass is ever paid.
+# Everything is plain XLA (matmul + elementwise): no Pallas needed, XLA fuses
+# the twiddle/gate chains between stages.
+
+_MATMUL_FFT_MAX_RADIX = 512
+
+
+def _fft_factors(n: int):
+    """Balanced power-of-two factor list with every factor <= 512, or None."""
+    if n <= 0 or n & (n - 1):
+        return None
+    e = n.bit_length() - 1
+    k = -(-e // 9)  # ceil: radix 512 = 2^9
+    base, extra = divmod(e, k)
+    return [1 << (base + (1 if i < extra else 0)) for i in range(k)]
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_consts(f: int, sign: float):
+    i = np.arange(f)
+    ang = sign * 2 * np.pi / f * np.outer(i, i)
+    return (jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)))
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_consts(f: int, n2: int, n: int, sign: float):
+    ang = sign * 2 * np.pi / n * np.outer(np.arange(f), np.arange(n2))
+    return (jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)))
+
+
+def _cfft_scrambled(xr, xi, factors, sign: float):
+    """Complex DFT along the last axis in scrambled order (fixed permutation
+    of the true DFT; permutation determined by `factors`)."""
+    n = xr.shape[-1]
+    f = factors[0]
+    cr, ci = _dft_consts(f, sign)
+    if len(factors) == 1:
+        yr = xr @ cr - xi @ ci
+        yi = xr @ ci + xi @ cr
+        return yr, yi
+    n2 = n // f
+    shape = xr.shape[:-1] + (f, n2)
+    xr = xr.reshape(shape)
+    xi = xi.reshape(shape)
+    # DFT_f along axis -2 (batched MXU matmul over the n2 lanes)
+    ar = jnp.einsum("fk,...fn->...kn", cr, xr) - jnp.einsum(
+        "fk,...fn->...kn", ci, xi)
+    ai = jnp.einsum("fk,...fn->...kn", ci, xr) + jnp.einsum(
+        "fk,...fn->...kn", cr, xi)
+    tr, ti = _twiddle_consts(f, n2, n, sign)
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+    br, bi = _cfft_scrambled(br, bi, factors[1:], sign)
+    out_shape = shape[:-2] + (n,)
+    return br.reshape(out_shape), bi.reshape(out_shape)
+
+
+def _icfft_scrambled(yr, yi, factors):
+    """Exact inverse of _cfft_scrambled (same factors), WITHOUT the 1/N
+    scale (applied once by the caller)."""
+    n = yr.shape[-1]
+    f = factors[0]
+    cr, ci = _dft_consts(f, -1.0)   # conjugate DFT
+    if len(factors) == 1:
+        xr = yr @ cr - yi @ ci
+        xi = yr @ ci + yi @ cr
+        return xr, xi
+    n2 = n // f
+    shape = yr.shape[:-1] + (f, n2)
+    yr = yr.reshape(shape)
+    yi = yi.reshape(shape)
+    br, bi = _icfft_scrambled(yr, yi, factors[1:])
+    tr, ti = _twiddle_consts(f, n2, n, -1.0)
+    ar = br * tr - bi * ti
+    ai = br * ti + bi * tr
+    xr = jnp.einsum("fk,...kn->...fn", cr, ar) - jnp.einsum(
+        "fk,...kn->...fn", ci, ai)
+    xi = jnp.einsum("fk,...kn->...fn", ci, ar) + jnp.einsum(
+        "fk,...kn->...fn", cr, ai)
+    out_shape = shape[:-2] + (n,)
+    return xr.reshape(out_shape), xi.reshape(out_shape)
+
+
+def _mm_rfft(x, factors):
+    """Real-input scrambled FFT (imag=0 feed; see _mm_fftconv for why the
+    2x waste still wins)."""
+    return _cfft_scrambled(x, jnp.zeros_like(x), factors, -1.0)
+
+
+def _mm_conv_spectrum(ur, ui, kr, ki, factors, L):
+    """Pointwise spectral product + scrambled inverse + real/causal trim."""
+    n = 2 * L
+    pr = ur * kr - ui * ki
+    pi = ur * ki + ui * kr
+    yr, _ = _icfft_scrambled(pr, pi, factors)
+    return yr[..., :L] / n
+
+
 @jax.custom_vjp
 def _fft_conv_core(u, k):
     """y[..., t] = sum_{tau<=t} k[..., tau] * u[..., t-tau]; u (..., C, L)
     fp32, k (C, L) fp32."""
     L = u.shape[-1]
     n = 2 * L
+    factors = _fft_factors(n)
+    if factors is not None:
+        pad = [(0, 0)] * (u.ndim - 1) + [(0, L)]
+        ur, ui = _mm_rfft(jnp.pad(u, pad), factors)
+        kr, ki = _mm_rfft(jnp.pad(k, [(0, 0)] * (k.ndim - 1) + [(0, L)]),
+                          factors)
+        return _mm_conv_spectrum(ur, ui, kr, ki, factors, L)
     y = jnp.fft.irfft(jnp.fft.rfft(u, n=n) * jnp.fft.rfft(k, n=n), n=n)
     return y[..., :L]
 
@@ -74,6 +193,23 @@ def _fft_conv_bwd(res, g):
     u, k = res
     L = u.shape[-1]
     n = 2 * L
+    factors = _fft_factors(n)
+    if factors is not None:
+        # correlations in the scrambled basis: conj / product / sum are all
+        # elementwise or batch reductions, so the permutation cancels exactly
+        pad_u = [(0, 0)] * (u.ndim - 1) + [(0, L)]
+        pad_k = [(0, 0)] * (k.ndim - 1) + [(0, L)]
+        gr, gi = _mm_rfft(jnp.pad(g.astype(jnp.float32), pad_u), factors)
+        kr, ki = _mm_rfft(jnp.pad(k, pad_k), factors)
+        # du_s = sum_{t>=s} g_t k_{t-s}: correlation = product with conj(k_f)
+        du = _mm_conv_spectrum(gr, gi, kr, -ki, factors, L)
+        ur, ui = _mm_rfft(jnp.pad(u, pad_u), factors)
+        batch = tuple(range(gr.ndim - k.ndim))
+        sr = jnp.sum(gr * ur + gi * ui, axis=batch)
+        si = jnp.sum(gi * ur - gr * ui, axis=batch)
+        yr, _ = _icfft_scrambled(sr, si, factors)
+        dk = yr[..., :L] / n
+        return du, dk
     g_f = jnp.fft.rfft(g.astype(jnp.float32), n=n)
     # du_s = sum_{t>=s} g_t k_{t-s}: circular correlation; the zero padding
     # past L-1 kills the wrapped terms.

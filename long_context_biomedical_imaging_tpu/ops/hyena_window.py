@@ -13,11 +13,24 @@ out once out — everything else lives in VMEM for a block of windows. The
 matmuls run on the MXU in the input dtype (bf16 under AMP); gates and conv
 taps accumulate in fp32.
 
-The short (K-tap) and long (V-tap) causal convs are shift-and-MAC sweeps over
-a zero-padded (block, 2V, C) VMEM scratch: shifted-by-m reads are static
-slices of the scratch (Mosaic crashes on in-kernel jnp.pad/concatenate along
-the token axis, and single-token loops would waste 7/8 sublanes). V <= 64
-windows only; the V=512 windows (cmr/emb) keep the XLA FFT path.
+The short (K-tap) causal conv is a shift-and-MAC sweep over a zero-padded
+(block, 2V, C) VMEM scratch: shifted-by-m reads are static slices of the
+scratch (Mosaic crashes on in-kernel jnp.pad/concatenate along the token
+axis, and single-token loops would waste 7/8 sublanes).
+
+The long (V-tap) conv has two in-kernel forms:
+  - V <= 64: the same shift-and-MAC sweep (V taps).
+  - 64 < V <= 512, V % 64 == 0 (the cmr/emb 512-token windows): V taps of
+    VPU MACs would be ~8x the kernel's matmul FLOPs, so the conv runs as
+    chunk-blocked Toeplitz MXU matmuls instead. The causal Toeplitz operator
+    T[t,s,c]=k[t-s,c] is block-Toeplitz with 64x64 Toeplitz blocks that
+    depend only on the chunk distance d=q-q', so only n=V/64 distinct
+    (C,64,64) blocks M[d] exist; they are built OUTSIDE the kernel from the
+    implicit filter (differentiably — autodiff carries dM back to the filter
+    params) and y_chunk[q] = sum_d x_chunk[q-d] @ M[d] per channel. The
+    per-channel batched matmuls need channel-major layout, so chunks are
+    transposed VMEM-locally into a (C, n*bb, 64) scratch (rows chunk-major,
+    making every d-shifted read/write a contiguous static slice).
 
 Backward is one kernel per row block: recompute the forward intermediates,
 then chain the transposed ops. Weight gradients accumulate across the 1D grid
@@ -35,6 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_mlp import _ln_bwd, _ln_fwd
 
 HYENA_WINDOW_MAX_LEN = 64
+# chunk-blocked Toeplitz path (V > 64): chunk edge, V ceiling, channel ceiling
+# (the M/dM VMEM blocks scale with C*V*64 — C>192 stages keep the composed
+# Toeplitz-matmul path, which is fine: stage cost falls 4x per stage)
+HYENA_CHUNK = 64
+HYENA_CHUNKED_MAX_LEN = 512
+HYENA_CHUNKED_MAX_CHANNELS = 192
 
 
 def _interpret() -> bool:
@@ -49,10 +68,15 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def hyena_window_supported(v: int) -> bool:
+def hyena_window_supported(v: int, c: int | None = None) -> bool:
     # sublane-aligned window volumes only (auto-shrunk windows in deep stages
     # of tiny inputs can reach V=1; the composed XLA path handles those)
-    return 8 <= v <= HYENA_WINDOW_MAX_LEN and v % 8 == 0
+    if 8 <= v <= HYENA_WINDOW_MAX_LEN and v % 8 == 0:
+        return True
+    if c is None:
+        return False
+    return (v % HYENA_CHUNK == 0 and v <= HYENA_CHUNKED_MAX_LEN
+            and c <= HYENA_CHUNKED_MAX_CHANNELS)
 
 
 def _pick_bb(V: int, C: int, bwd: bool) -> int:
@@ -75,6 +99,71 @@ def _pick_bb(V: int, C: int, bwd: bool) -> int:
     while bb * 2 <= rows and bb < 1024:
         bb *= 2
     return bb
+
+
+def _pick_bb_chunked(V: int, C: int, bwd: bool) -> int:
+    """Rows per grid block for the chunked (V>64) kernels. The fp32 live set
+    per row is ~16 (fwd) / ~30 (bwd) V*C token tiles (z/zc/dzc are 3C-wide,
+    zpad is 6C-wide); the M/dM blocks are bb-independent. Env overrides
+    LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
+    import os
+    env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
+    if env:
+        return int(env)
+    per_row = V * C * 4 * (30 if bwd else 16)
+    budget = (24 if bwd else 32) * 1024 * 1024
+    rows = max(budget // per_row, 1)
+    bb = 1
+    while bb * 2 <= rows and bb < 64:
+        bb *= 2
+    return bb
+
+
+def _build_chunk_toeplitz(kl, chunk: int):
+    """(V, C) causal filter (tap 0 = skip-folded) -> (n, C, chunk, chunk)
+    block-Toeplitz matrices M[d][c, j, r] = kl[chunk*d + r - j, c] (zero
+    outside [0, V)). Built with differentiable ops so the filter gradient
+    flows through automatically (same trick as fftconv._toeplitz_conv_cm)."""
+    import numpy as np
+    V = kl.shape[0]
+    n = V // chunk
+    d_ = np.arange(n)[:, None, None]
+    j_ = np.arange(chunk)[None, :, None]
+    r_ = np.arange(chunk)[None, None, :]
+    t = chunk * d_ + r_ - j_
+    mask = jnp.asarray((t >= 0) & (t < V))
+    idx = jnp.asarray(np.clip(t, 0, V - 1))
+    m = jnp.where(mask[..., None], kl[idx], 0.0)   # (n, chunk, chunk, C)
+    return jnp.moveaxis(m, -1, 1)                  # (n, C, chunk, chunk)
+
+
+def _transpose_chunks_in(x, scr, bb: int, chunk: int, n: int, C: int):
+    """(bb, V, C) -> channel-major (C, n*bb, chunk) scratch, rows chunk-major
+    (row = q*bb + b) so chunk-distance slices are contiguous."""
+    for q in range(n):
+        blk = x[:, q * chunk:(q + 1) * chunk, :].reshape(bb * chunk, C)
+        scr[:, q * bb:(q + 1) * bb, :] = blk.T.reshape(C, bb, chunk)
+
+
+def _transpose_chunk_out(scr, q: int, bb: int, chunk: int, C: int):
+    """One chunk of a (C, n*bb, chunk) scratch back to (bb, chunk, C)."""
+    blk = scr[:, q * bb:(q + 1) * bb, :].reshape(C, bb * chunk)
+    return blk.T.reshape(bb, chunk, C)
+
+
+def _chunk_long_conv(g, m_ref, gT_scr, vlT_scr, bb, C, chunk, n, dt):
+    """Causal depthwise long conv via chunk-blocked Toeplitz matmuls:
+    vlT[q] = sum_{d<=q} gT[q-d] @ M[d], per channel. Leaves gT_scr holding
+    g^T (the backward's dM pass reuses it)."""
+    _transpose_chunks_in(g, gT_scr, bb, chunk, n, C)
+    vlT_scr[...] = jnp.zeros_like(vlT_scr)
+    for d in range(n):
+        rows = (n - d) * bb
+        acc = jax.lax.dot_general(
+            gT_scr[:, :rows, :].astype(dt), m_ref[d].astype(dt),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        vlT_scr[:, d * bb:, :] += acc
 
 
 def _causal_mac(pad_ref, x, taps, V: int):
@@ -404,12 +493,313 @@ def _fwd_rule_ln(x, gln, bln, win, bin_, ws, bs, kl, wo, bo):
 _mixer_core_ln.defvjp(_fwd_rule_ln, lambda res, do: _bwd_impl(res, do, ln=True))
 
 
+# --------------------------------------------------------------------------- #
+# Chunked (V > 64) variants: long conv as block-Toeplitz MXU matmuls
+# --------------------------------------------------------------------------- #
+
+def _make_fwd_kernel_chunked(V, C, dt, chunk, ln: bool = False):
+    n = V // chunk
+
+    def kernel(x_ref, *refs):
+        if ln:
+            (g_ref, bln_ref, win_ref, bin_ref, ws_ref, bs_ref, m_ref,
+             wo_ref, bo_ref, o_ref, zpad_scr, gT_scr, vlT_scr) = refs
+        else:
+            (win_ref, bin_ref, ws_ref, bs_ref, m_ref, wo_ref, bo_ref,
+             o_ref, zpad_scr, gT_scr, vlT_scr) = refs
+        bb = x_ref.shape[0]
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            y, _, _ = _ln_fwd(x32, g_ref[0][None, None, :],
+                              bln_ref[0][None, None, :])
+        else:
+            y = x32
+        z = _dot(y.reshape(bb * V, C), win_ref[...], dt).reshape(bb, V, 3 * C)
+        z = z + bin_ref[0][None, None, :]
+        zc = _causal_mac(zpad_scr, z, ws_ref[...], V) + bs_ref[0][None, None, :]
+        x1 = zc[:, :, :C]
+        x2 = zc[:, :, C:2 * C]
+        v = zc[:, :, 2 * C:]
+        g = v * x1
+        _chunk_long_conv(g, m_ref, gT_scr, vlT_scr, bb, C, chunk, n, dt)
+        wo = wo_ref[...]
+        bo = bo_ref[0][None, :]
+        for q in range(n):
+            vl_q = _transpose_chunk_out(vlT_scr, q, bb, chunk, C)
+            v2_q = vl_q * x2[:, q * chunk:(q + 1) * chunk, :]
+            out_q = _dot(v2_q.reshape(bb * chunk, C), wo, dt) + bo
+            out_q = out_q.reshape(bb, chunk, C)
+            if ln:
+                out_q = out_q + x32[:, q * chunk:(q + 1) * chunk, :]
+            o_ref[:, q * chunk:(q + 1) * chunk, :] = out_q.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _chunked_weight_specs(C, K, n, chunk):
+    return [
+        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((n, C, chunk, chunk), lambda i: (0, 0, 0, 0)),
+    ]
+
+
+def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
+    BW, V, C = x.shape
+    dt = x.dtype
+    chunk = HYENA_CHUNK
+    n = V // chunk
+    bb = _pick_bb_chunked(V, C, bwd=False)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    grid = ((BW + pad) // bb,)
+    K = ws.shape[0]
+
+    ln_specs = ([pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else [])
+    ln_args = tuple(ln) if ln else ()
+    out = pl.pallas_call(
+        _make_fwd_kernel_chunked(V, C, dt, chunk, ln=ln is not None),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_specs
+        + _chunked_weight_specs(C, K, n, chunk)
+        + [
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, *ln_args, win, bin_, ws, bs, m, wo, bo)
+    return out[:BW]
+
+
+def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
+    n = V // chunk
+
+    def kernel(x_ref, *refs):
+        if ln:
+            (g_ref, bln_ref, win_ref, bin_ref, ws_ref, bs_ref, m_ref,
+             wo_ref, do_ref, dx_ref, dgln_ref, dbln_ref, dwin_ref, dbin_ref,
+             dws_ref, dbs_ref, dm_ref, dwo_ref, dbo_ref,
+             zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr) = refs
+        else:
+            (win_ref, bin_ref, ws_ref, bs_ref, m_ref, wo_ref, do_ref,
+             dx_ref, dwin_ref, dbin_ref, dws_ref, dbs_ref, dm_ref,
+             dwo_ref, dbo_ref,
+             zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr) = refs
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            if ln:
+                dgln_ref[...] = jnp.zeros_like(dgln_ref)
+                dbln_ref[...] = jnp.zeros_like(dbln_ref)
+            dwin_ref[...] = jnp.zeros_like(dwin_ref)
+            dbin_ref[...] = jnp.zeros_like(dbin_ref)
+            dws_ref[...] = jnp.zeros_like(dws_ref)
+            dbs_ref[...] = jnp.zeros_like(dbs_ref)
+            dm_ref[...] = jnp.zeros_like(dm_ref)
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+        bb = x_ref.shape[0]
+        x32 = x_ref[...].astype(jnp.float32)
+        if ln:
+            gln = g_ref[0][None, None, :]
+            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+        else:
+            y = x32
+        win, bin_, ws, bs = (win_ref[...], bin_ref[...], ws_ref[...],
+                             bs_ref[...])
+        # recompute the forward; zpad_scr holds [0|z], gT_scr holds g^T after
+        z = _dot(y.reshape(bb * V, C), win, dt).reshape(bb, V, 3 * C)
+        z = z + bin_[0][None, None, :]
+        zc = _causal_mac(zpad_scr, z, ws, V) + bs[0][None, None, :]
+        x1 = zc[:, :, :C]
+        x2 = zc[:, :, C:2 * C]
+        v = zc[:, :, 2 * C:]
+        g = v * x1
+        _chunk_long_conv(g, m_ref, gT_scr, vlT_scr, bb, C, chunk, n, dt)
+        for q in range(n):
+            tok_scr[:, q * chunk:(q + 1) * chunk, :] = \
+                _transpose_chunk_out(vlT_scr, q, bb, chunk, C)
+        vl = tok_scr[...]
+        v2 = vl * x2
+
+        do = do_ref[...].astype(jnp.float32)
+        do2d = do.reshape(bb * V, C)
+        dwo_ref[...] += _dot_tt(v2.reshape(bb * V, C), do2d, dt)
+        dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
+        dv2 = _dot_t(do2d, wo_ref[...], dt).reshape(bb, V, C)
+
+        dvl = dv2 * x2
+        dx2 = dv2 * vl
+        _transpose_chunks_in(dvl, dvlT_scr, bb, chunk, n, C)
+        dgT_scr[...] = jnp.zeros_like(dgT_scr)
+        for d in range(n):
+            rows = (n - d) * bb
+            # dM[d][c,j,r] = sum_rows gT[c,row,j] dvlT[c,row+d*bb,r]
+            dm_ref[d] += jax.lax.dot_general(
+                gT_scr[:, :rows, :].astype(dt),
+                dvlT_scr[:, d * bb:, :].astype(dt),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # dgT[c,row,j] += sum_r dvlT[c,row+d*bb,r] M[d][c,j,r]
+            dgT_scr[:, :rows, :] += jax.lax.dot_general(
+                dvlT_scr[:, d * bb:, :].astype(dt), m_ref[d].astype(dt),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        for q in range(n):
+            tok_scr[:, q * chunk:(q + 1) * chunk, :] = \
+                _transpose_chunk_out(dgT_scr, q, bb, chunk, C)
+        dg = tok_scr[...]
+
+        dv = dg * x1
+        dx1 = dg * v
+        dzc = jnp.concatenate([dx1, dx2, dv], axis=-1)      # (bb, V, 3C)
+
+        dbs_ref[...] += jnp.sum(dzc, axis=(0, 1))[None, :]
+        # zpad_scr still holds [0|z]
+        dws_ref[...] += _tap_grads(zpad_scr, dzc, z, K, V)
+        dz = _causal_mac_t(zpad_scr, dzc, ws, V)
+
+        dz2d = dz.reshape(bb * V, 3 * C)
+        dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
+        dwin_ref[...] += _dot_tt(y.reshape(bb * V, C), dz2d, dt)
+        dy = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        if ln:
+            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0])
+            dgln_ref[...] += dgln
+            dbln_ref[...] += dbln2
+            dx = dx + do
+        else:
+            dx = dy
+        dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    return kernel
+
+
+def _bwd_impl_chunked(res, do, ln: bool):
+    if ln:
+        x, gln, bln, win, bin_, ws, bs, m, wo = res
+        ln_args = (gln, bln)
+    else:
+        x, win, bin_, ws, bs, m, wo = res
+    BW, V, C = x.shape
+    dt = x.dtype
+    K = ws.shape[0]
+    chunk = HYENA_CHUNK
+    n = V // chunk
+    bb = _pick_bb_chunked(V, C, bwd=True)
+    pad = (-BW) % bb
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
+    grid = ((BW + pad) // bb,)
+
+    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    ln_in_specs = [vec_c, vec_c] if ln else []
+    ln_out_specs = [vec_c, vec_c] if ln else []
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+                     if ln else [])
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln=ln),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_in_specs
+        + _chunked_weight_specs(C, K, n, chunk)
+        + [
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        + ln_out_specs
+        + [
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((n, C, chunk, chunk), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        + ln_out_shapes
+        + [
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((n, C, chunk, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+            pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+            pltpu.VMEM((bb, V, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(xp, *(ln_args if ln else ()), win, bin_, ws, bs, m, wo, dop)
+
+    if ln:
+        dx, dgln, dbln, dwin, dbin, dws, dbs, dm, dwo, dbo = outs
+        return (dx[:BW], dgln, dbln, dwin.astype(win.dtype), dbin, dws, dbs,
+                dm.astype(m.dtype), dwo.astype(wo.dtype), dbo)
+    dx, dwin, dbin, dws, dbs, dm, dwo, dbo = outs
+    return (dx[:BW], dwin.astype(win.dtype), dbin, dws, dbs,
+            dm.astype(m.dtype), dwo.astype(wo.dtype), dbo)
+
+
+@jax.custom_vjp
+def _mixer_core_chunked(x, win, bin_, ws, bs, m, wo, bo):
+    return _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo)
+
+
+def _fwd_rule_chunked(x, win, bin_, ws, bs, m, wo, bo):
+    out = _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo)
+    return out, (x, win, bin_, ws, bs, m, wo)
+
+
+_mixer_core_chunked.defvjp(
+    _fwd_rule_chunked, lambda res, do: _bwd_impl_chunked(res, do, ln=False))
+
+
+@jax.custom_vjp
+def _mixer_core_chunked_ln(x, gln, bln, win, bin_, ws, bs, m, wo, bo):
+    return _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=(gln, bln))
+
+
+def _fwd_rule_chunked_ln(x, gln, bln, win, bin_, ws, bs, m, wo, bo):
+    out = _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=(gln, bln))
+    return out, (x, gln, bln, win, bin_, ws, bs, m, wo)
+
+
+_mixer_core_chunked_ln.defvjp(
+    _fwd_rule_chunked_ln, lambda res, do: _bwd_impl_chunked(res, do, ln=True))
+
+
 def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
                        w_out, b_out, ln_scale=None, ln_bias=None):
     """Fused hyena window mixer, optionally with in-kernel pre-LN + residual.
 
     Args:
-      x: (BW, V, C) windowed tokens, V <= 64.
+      x: (BW, V, C) windowed tokens; V <= 64 runs the tap kernel, larger
+        sublane-aligned V (<= 512, C <= 192) the chunked-Toeplitz kernel —
+        gate call sites with hyena_window_supported(V, C).
       w_in: (C, 3C) in_proj kernel; b_in: (3C,).
       w_short: (3C, K) short depthwise causal filter; b_short: (3C,).
       k_long: (C, V) implicit long filter (channel-major like the composed
@@ -429,6 +819,22 @@ def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
     # long conv taps are k rows; the skip term bias*u is the tau=0 tap
     kl = k_long.astype(jnp.float32).T                            # (V, C)
     kl = kl.at[0].add(b_long.astype(jnp.float32))
+    V = x.shape[1]
+    if V > HYENA_WINDOW_MAX_LEN:
+        # block-Toeplitz operator in the matmul dtype (halves its VMEM
+        # footprint under AMP; the kernel's dots run in x.dtype regardless)
+        m = _build_chunk_toeplitz(kl, HYENA_CHUNK).astype(x.dtype)
+        if ln_scale is not None:
+            return _mixer_core_chunked_ln(
+                x, ln_scale.astype(jnp.float32)[None, :],
+                ln_bias.astype(jnp.float32)[None, :],
+                w_in, b_in.astype(jnp.float32)[None, :],
+                ws, b_short.astype(jnp.float32)[None, :], m,
+                w_out, b_out.astype(jnp.float32)[None, :])
+        return _mixer_core_chunked(
+            x, w_in, b_in.astype(jnp.float32)[None, :],
+            ws, b_short.astype(jnp.float32)[None, :], m,
+            w_out, b_out.astype(jnp.float32)[None, :])
     if ln_scale is not None:
         return _mixer_core_ln(
             x, ln_scale.astype(jnp.float32)[None, :],

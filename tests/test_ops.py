@@ -275,6 +275,10 @@ def test_hyena_window_fused_parity(rng):
         hyena_window_mixer, hyena_window_supported)
 
     assert hyena_window_supported(16) and not hyena_window_supported(512)
+    # chunked-Toeplitz surface: V%64==0 up to 512 when channels fit VMEM
+    assert hyena_window_supported(512, 96) and hyena_window_supported(128, 192)
+    assert not hyena_window_supported(512, 384)   # deep stages stay composed
+    assert not hyena_window_supported(96, 96)     # not chunk-aligned
 
     BW, V, C, K = 16, 16, 24, 5
 
@@ -332,6 +336,67 @@ def test_hyena_window_fused_parity(rng):
     gc = jax.grad(lambda *a: jnp.sum(composed_ln(*a) ** 2),
                   argnums=tuple(range(11)))(*args_ln)
     for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_hyena_window_chunked_parity(rng):
+    """Chunked-Toeplitz fused mixer (V > 64: long conv as block-Toeplitz MXU
+    matmuls) == composed path, values and gradients incl. the implicit-filter
+    gradient through the differentiable M build (fp32, interpret on CPU).
+    Ref call sites: backbone_swin.py:315-332 at window_volume 512 (cmr/emb)."""
+    from long_context_biomedical_imaging_tpu.ops.conv import depthwise_conv1d_cm
+    from long_context_biomedical_imaging_tpu.ops.fftconv import causal_long_conv_cm
+    from long_context_biomedical_imaging_tpu.ops.hyena_window import (
+        hyena_window_mixer)
+
+    BW, V, C, K = 5, 128, 16, 5   # BW=5 also exercises row-block padding
+
+    def mk(shape, scale=0.3):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((BW, V, C), 1.0)
+    args = (x, mk((C, 3 * C)), mk((3 * C,)), mk((3 * C, K)), mk((3 * C,)),
+            mk((C, V)), mk((C,)), mk((C, C)), mk((C,)))
+
+    def composed(x, w_in, b_in, w_short, b_short, k_long, b_long, w_out, b_out):
+        z = (x.reshape(-1, C) @ w_in + b_in).reshape(BW, V, 3 * C)
+        z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
+        x1, x2, v = z[..., :C], z[..., C:2 * C], z[..., 2 * C:]
+        v = causal_long_conv_cm(v * x1, k_long, b_long) * x2
+        return (v.reshape(-1, C) @ w_out + b_out).reshape(BW, V, C)
+
+    np.testing.assert_allclose(np.asarray(hyena_window_mixer(*args)),
+                               np.asarray(composed(*args)),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(lambda *a: jnp.sum(hyena_window_mixer(*a) ** 2),
+                  argnums=tuple(range(9)))(*args)
+    gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
+                  argnums=tuple(range(9)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # ln variant: x + mixer(LN(x)) fused
+    ln_s, ln_b = mk((C,), 1.0), mk((C,), 0.2)
+
+    def composed_ln(x, ln_s, ln_b, *rest):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        return x + composed(y, *rest)
+
+    out_fl = hyena_window_mixer(*args, ln_scale=ln_s, ln_bias=ln_b)
+    np.testing.assert_allclose(np.asarray(out_fl),
+                               np.asarray(composed_ln(x, ln_s, ln_b, *args[1:])),
+                               rtol=2e-5, atol=2e-5)
+    gfl = jax.grad(lambda x_, s_, b_: jnp.sum(hyena_window_mixer(
+        x_, *args[1:], ln_scale=s_, ln_bias=b_) ** 2), argnums=(0, 1, 2))(
+        x, ln_s, ln_b)
+    gcl = jax.grad(lambda x_, s_, b_: jnp.sum(
+        composed_ln(x_, s_, b_, *args[1:]) ** 2), argnums=(0, 1, 2))(
+        x, ln_s, ln_b)
+    for a, b in zip(gfl, gcl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
 
