@@ -62,7 +62,7 @@ def fft_causal_conv(u, k, bias=None):
 #
 # The XLA TPU FFT measured ~15% efficient at the 16k-66k hyena lengths (the
 # Toeplitz matmul beat it 35x at L=512 but is O(L^2) — infeasible at 65k).
-# Instead: factor N = f1*...*fk (each <= 512) and run the classic four-step
+# Instead: factor N = f1*...*fk (each <= 64) and run the classic four-step
 # recursion  X[k1 + f*k2] = DFT_{n2}( w_N^{k1 n2} * DFT_f(x[n2*n1 + n2']) )
 # where every DFT_f is ONE batched (f, f) real-matmul pair on the MXU and the
 # twiddles fuse into the matmul epilogue. The transform is kept in SCRAMBLED
@@ -72,17 +72,34 @@ def fft_causal_conv(u, k, bias=None):
 # Everything is plain XLA (matmul + elementwise): no Pallas needed, XLA fuses
 # the twiddle/gate chains between stages.
 
-_MATMUL_FFT_MAX_RADIX = 512
+# Radix cap 64: at N=131072 the 3-stage [64,64,32] split needs 5x fewer
+# matmul FLOPs than the 2-stage [512,256] one (cost ~ N*sum(factors)) and the
+# extra stage's HBM pass is cheaper than the saved fp32 matmul time.
+_MATMUL_FFT_MAX_RADIX = 64
+# fp32 matmuls on the TPU MXU truncate to bf16 under DEFAULT precision — a
+# disaster compounded over log_64(N) DFT stages; HIGHEST keeps fp32-exact
+# accumulation and its FLOP cost stays under the stages' bandwidth floor.
+_FFT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _fft_factors(n: int):
-    """Balanced power-of-two factor list with every factor <= 512, or None."""
+    """Balanced power-of-two factor list with every factor <= 64, or None."""
     if n <= 0 or n & (n - 1):
         return None
     e = n.bit_length() - 1
-    k = -(-e // 9)  # ceil: radix 512 = 2^9
+    k = -(-e // 6)  # ceil: radix 64 = 2^6
     base, extra = divmod(e, k)
     return [1 << (base + (1 if i < extra else 0)) for i in range(k)]
+
+
+def _fmm(x, c):
+    """DFT matmul along the last axis."""
+    return jnp.einsum("...n,nk->...k", x, c, precision=_FFT_PRECISION)
+
+
+def _smm(c, x):
+    """DFT matmul along axis -2 (batched over the trailing lanes)."""
+    return jnp.einsum("fk,...fn->...kn", c, x, precision=_FFT_PRECISION)
 
 
 @functools.lru_cache(maxsize=None)
@@ -107,18 +124,23 @@ def _cfft_scrambled(xr, xi, factors, sign: float):
     f = factors[0]
     cr, ci = _dft_consts(f, sign)
     if len(factors) == 1:
-        yr = xr @ cr - xi @ ci
-        yi = xr @ ci + xi @ cr
+        if xi is None:
+            return _fmm(xr, cr), _fmm(xr, ci)
+        yr = _fmm(xr, cr) - _fmm(xi, ci)
+        yi = _fmm(xr, ci) + _fmm(xi, cr)
         return yr, yi
     n2 = n // f
     shape = xr.shape[:-1] + (f, n2)
     xr = xr.reshape(shape)
-    xi = xi.reshape(shape)
-    # DFT_f along axis -2 (batched MXU matmul over the n2 lanes)
-    ar = jnp.einsum("fk,...fn->...kn", cr, xr) - jnp.einsum(
-        "fk,...fn->...kn", ci, xi)
-    ai = jnp.einsum("fk,...fn->...kn", ci, xr) + jnp.einsum(
-        "fk,...fn->...kn", cr, xi)
+    # DFT_f along axis -2 (batched MXU matmul over the n2 lanes);
+    # real input (xi None) halves the first stage's matmuls
+    if xi is None:
+        ar = _smm(cr, xr)
+        ai = _smm(ci, xr)
+    else:
+        xi = xi.reshape(shape)
+        ar = _smm(cr, xr) - _smm(ci, xi)
+        ai = _smm(ci, xr) + _smm(cr, xi)
     tr, ti = _twiddle_consts(f, n2, n, sign)
     br = ar * tr - ai * ti
     bi = ar * ti + ai * tr
@@ -132,31 +154,30 @@ def _icfft_scrambled(yr, yi, factors):
     scale (applied once by the caller)."""
     n = yr.shape[-1]
     f = factors[0]
-    cr, ci = _dft_consts(f, -1.0)   # conjugate DFT
+    cr, ci = _dft_consts(f, 1.0)    # conjugate of the forward's sign=-1
     if len(factors) == 1:
-        xr = yr @ cr - yi @ ci
-        xi = yr @ ci + yi @ cr
+        xr = _fmm(yr, cr) - _fmm(yi, ci)
+        xi = _fmm(yr, ci) + _fmm(yi, cr)
         return xr, xi
     n2 = n // f
     shape = yr.shape[:-1] + (f, n2)
     yr = yr.reshape(shape)
     yi = yi.reshape(shape)
     br, bi = _icfft_scrambled(yr, yi, factors[1:])
-    tr, ti = _twiddle_consts(f, n2, n, -1.0)
+    tr, ti = _twiddle_consts(f, n2, n, 1.0)
     ar = br * tr - bi * ti
     ai = br * ti + bi * tr
-    xr = jnp.einsum("fk,...kn->...fn", cr, ar) - jnp.einsum(
-        "fk,...kn->...fn", ci, ai)
-    xi = jnp.einsum("fk,...kn->...fn", ci, ar) + jnp.einsum(
-        "fk,...kn->...fn", cr, ai)
+    xr = _smm(cr, ar) - _smm(ci, ai)
+    xi = _smm(ci, ar) + _smm(cr, ai)
     out_shape = shape[:-2] + (n,)
     return xr.reshape(out_shape), xi.reshape(out_shape)
 
 
 def _mm_rfft(x, factors):
-    """Real-input scrambled FFT (imag=0 feed; see _mm_fftconv for why the
-    2x waste still wins)."""
-    return _cfft_scrambled(x, jnp.zeros_like(x), factors, -1.0)
+    """Real-input scrambled FFT. The full complex spectrum is kept (no
+    hermitian halving — that would need -k index maps in scrambled order);
+    the first DFT stage still skips its imaginary-part matmuls."""
+    return _cfft_scrambled(x, None, factors, -1.0)
 
 
 def _mm_conv_spectrum(ur, ui, kr, ki, factors, L):

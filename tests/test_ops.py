@@ -604,6 +604,41 @@ def test_fft_conv_custom_vjp_grads(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_matmul_fft_conv_matches_xla_fft(rng):
+    """The Cooley-Tukey matmul-FFT path (power-of-two 2L: DFT stages as MXU
+    matmuls in scrambled order) == the jnp.fft reference, values and the
+    analytic VJP. Covers the 16k-66k ViT hyena lengths' algorithm at a
+    CI-sized L (ref: model/models/hyena.py:32-51, backbone_vit.py:172)."""
+    from long_context_biomedical_imaging_tpu.ops import fftconv as fc
+
+    assert fc._fft_factors(131072) == [64, 64, 32]   # 66k-token geometry
+    assert fc._fft_factors(4608) is None             # non-pow2 -> jnp.fft
+
+    B, C, L = 2, 5, 1024                              # 2L = 2048 = [16,16,8]
+    assert fc._fft_factors(2 * L) is not None
+    u = jnp.asarray(rng.normal(size=(B, C, L)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(C, L)).astype(np.float32) * 0.3)
+    n = 2 * L
+
+    def ref(u, k):
+        return jnp.fft.irfft(jnp.fft.rfft(u, n=n) * jnp.fft.rfft(k, n=n),
+                             n=n)[..., :L]
+
+    y_mm = fc._fft_conv_core(u, k)
+    y_ref = ref(u, k)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(rng.normal(size=u.shape).astype(np.float32))
+    du, dk = fc._fft_conv_bwd((u, k), g)
+    du_r, dk_r = jax.grad(lambda a, b: jnp.sum(ref(a, b) * g),
+                          argnums=(0, 1))(u, k)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_toeplitz_long_conv_matches_fft(rng):
     """The Toeplitz-matmul mid-length branch == the FFT path (fp32)."""
     from long_context_biomedical_imaging_tpu.ops.fftconv import (
