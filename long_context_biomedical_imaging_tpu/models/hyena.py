@@ -142,8 +142,12 @@ class HyenaOperator(nn.Module):
         k_full = jnp.tile(k.T, (self.num_heads, 1))       # (d, l)
         bias_full = jnp.tile(filt.bias, self.num_heads)   # (d,)
 
-        if hyena_window_supported(l, d) and \
+        from ..parallel.mesh import model_axis_size
+        if hyena_window_supported(l, d) and model_axis_size() == 1 and \
                 (self.dropout == 0.0 or deterministic):
+            # (model_axis gate: pallas_call does not SPMD-partition — under
+            # token-axis sharding the composed path below re-shards around
+            # the long conv instead)
             # windowed regime: one Pallas kernel for the whole mixer body —
             # the composed path streams the 3d-wide projection through HBM
             # ~6x per block (measured 1.4-1.9x step-op speedup on v5e)
@@ -173,7 +177,14 @@ class HyenaOperator(nn.Module):
             v = v * x1                                    # pre-gate
             v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
 
+            # Token-sharded sequences re-shard to channel-parallel for the
+            # depthwise long conv (each device convolves the FULL sequence for
+            # d/n channels — XLA inserts the all-to-all pair) and back. No-op
+            # on a model=1 mesh.
+            from ..parallel.mesh import shard_channels, shard_tokens
+            v = shard_channels(v)
             v = causal_long_conv_cm(v, k_full, bias_full)
+            v = shard_tokens(v)
 
             v = v * x2                                    # post-gate
             v = (v.reshape(b * l, d) @ w_out.astype(y.dtype)

@@ -164,7 +164,12 @@ class LNMLPResidual(nn.Module):
         b2 = self.param("fc2_bias", fan_in_bias_init(self.mlp_dim),
                         (self.hidden_size,))
 
-        if self.dropout_rate == 0.0 or deterministic:
+        from ..parallel.mesh import model_axis_size
+        if (self.dropout_rate == 0.0 or deterministic) \
+                and model_axis_size() == 1:
+            # pallas_call does not SPMD-partition: under token-axis sharding
+            # ('model' axis > 1) the fused kernel would force an all-gather of
+            # the full sequence, so the composed row-parallel path runs instead
             from ..ops.fused_mlp import fused_ln_mlp_residual
             return fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2)
 

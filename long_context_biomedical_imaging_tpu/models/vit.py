@@ -124,11 +124,22 @@ class ViTBackbone(nn.Module):
                 [jnp.broadcast_to(cls, (tokens.shape[0], 1, self.hidden_size)),
                  tokens], axis=1)
 
+        # Sequence parallelism for beyond-HBM hyena contexts: pin the token
+        # axis to the mesh 'model' axis at block boundaries (no-op on a
+        # model=1 mesh). Hyena only — its ops are token-local except the
+        # depthwise long conv, which re-shards to channel-parallel around the
+        # FFT (ops/hyena long-conv constraint); attention/mamba mix globally
+        # through Pallas kernels that do not SPMD-partition.
+        from ..parallel.mesh import shard_tokens
+        if self.use_hyena:
+            tokens = shard_tokens(tokens)
         for i in range(self.num_layers):
             tokens = TransformerBlock(
                 self.hidden_size, self.mlp_dim, self.num_heads, self.use_hyena,
                 self.use_mamba, self.dropout_rate, self.qkv_bias,
                 name=f"block_{i}")(tokens, deterministic)
+            if self.use_hyena:
+                tokens = shard_tokens(tokens)
             hidden_states.append(tokens)
         tokens = nn.LayerNorm(name="norm")(tokens)
         hidden_states.append(tokens)

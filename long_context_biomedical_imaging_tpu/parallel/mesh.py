@@ -24,7 +24,70 @@ def create_mesh(data_parallel: int | None = None, model_parallel: int = 1) -> Me
         data_parallel = n // model_parallel
     assert data_parallel * model_parallel == n, \
         f"mesh {data_parallel}x{model_parallel} != {n} devices"
-    return Mesh(devices.reshape(data_parallel, model_parallel), ("data", "model"))
+    mesh = Mesh(devices.reshape(data_parallel, model_parallel), ("data", "model"))
+    set_active_mesh(mesh)
+    return mesh
+
+
+# ---------------------------------------------------------------------------- #
+# Sequence (token-axis) parallelism over the 'model' axis
+#
+# The reference handles long context purely algorithmically (SURVEY §5.7);
+# beyond-HBM ViT contexts additionally shard the token axis across ICI. Model
+# code stays mesh-agnostic: it calls `constrain(x, spec)` which no-ops unless
+# a mesh with a >1 'model' axis is active. Inside jit, XLA's SPMD partitioner
+# then materializes the needed collectives (halo permutes for the short conv's
+# shifted slices, all-to-alls at the token<->channel re-shard around the
+# depthwise long conv, a psum for the mean-pool head).
+# ---------------------------------------------------------------------------- #
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+def model_axis_size() -> int:
+    m = _ACTIVE_MESH
+    return int(m.shape["model"]) if m is not None else 1
+
+
+def constrain(x, *spec):
+    """with_sharding_constraint against the active mesh; identity when the
+    'model' axis is 1/absent or the sharded dims don't divide evenly."""
+    m = _ACTIVE_MESH
+    if m is None or int(m.shape.get("model", 1)) == 1:
+        return x
+    for dim, s in enumerate(spec):
+        if s is None:
+            continue
+        size = int(np.prod([m.shape[a] for a in
+                            ((s,) if isinstance(s, str) else s)]))
+        if x.shape[dim] % size:
+            return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(m, P(*spec)))
+
+
+def shard_tokens(x, token_axis: int = 1):
+    """(B, L, D)-style activations: batch over 'data', tokens over 'model'."""
+    spec = [None] * x.ndim
+    spec[0] = "data"
+    spec[token_axis] = "model"
+    return constrain(x, *spec)
+
+
+def shard_channels(x, channel_axis: int = -1):
+    """Re-shard to channel-parallel (tokens fully local) for depthwise ops."""
+    spec = [None] * x.ndim
+    spec[0] = "data"
+    spec[channel_axis % x.ndim] = "model"
+    return constrain(x, *spec)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -103,6 +103,11 @@ def build_general_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddp", action="store_true",
                    help="Multi-process data parallelism (jax.distributed); "
                         "single-process multi-chip DP is automatic on TPU")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="TPU extension: size of the mesh 'model' axis. >1 "
+                        "shards the ViT-hyena token axis across chips "
+                        "(sequence parallelism for beyond-HBM contexts); "
+                        "the reference has no equivalent (SURVEY §2.3)")
 
     # Training parameters
     p.add_argument("--num_epochs", type=int, default=50)

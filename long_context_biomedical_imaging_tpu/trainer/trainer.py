@@ -34,7 +34,8 @@ class TrainManager:
         self.metrics = metric_manager
         self.logger = logging.getLogger("lcbi")
         self.file_logger = logging.getLogger("lcbi.file_only")
-        self.mesh = create_mesh()
+        self.mesh = create_mesh(
+            model_parallel=int(config.get("model_parallel", 1) or 1))
         self.rank = jax.process_index()
 
         self._batch_shard = batch_sharding(self.mesh)

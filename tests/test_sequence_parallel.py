@@ -1,0 +1,106 @@
+"""Sequence (token-axis) parallelism for beyond-HBM ViT-hyena contexts.
+
+The reference scales context only algorithmically (SURVEY §5.7); the TPU
+rebuild additionally shards the ViT token axis over the mesh 'model' axis
+(parallel/mesh.py:shard_tokens), re-sharding to channel-parallel around the
+depthwise long conv (models/hyena.py). These tests run the FULL train step on
+an 8-virtual-CPU mesh (2 data x 4 model) and check:
+  1. numerically identical loss/grads vs the unsharded step (same params,
+     same batch);
+  2. the compiled HLO really contains the token<->channel all-to-alls (i.e.
+     the constraints did something, rather than XLA gathering everything).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from long_context_biomedical_imaging_tpu.losses import get_loss_func
+from long_context_biomedical_imaging_tpu.models import build_model
+from long_context_biomedical_imaging_tpu.optim import OptimManager
+from long_context_biomedical_imaging_tpu.parallel import (create_mesh,
+                                                          set_active_mesh)
+from long_context_biomedical_imaging_tpu.setup import check_args, parse_config
+from long_context_biomedical_imaging_tpu.trainer import (create_train_state,
+                                                         make_train_step)
+
+
+def _vit_hyena_config(batch):
+    cfg = parse_config(argv=[
+        "--encoder_name=ViT", "--decoder_name=ViTLinear", "--task_type=class",
+        "--height=64", "--width=64", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2",
+        f"--batch_size={batch}", "--scheduler_type=OneCycleLR",
+        "--ViT.size=custom", "--ViT.patch_size", "4",
+        "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+        "--ViT.num_layers=2", "--ViT.num_heads=4",
+        "--ViT.use_hyena=True"])
+    return check_args(cfg)
+
+
+@pytest.fixture
+def setup():
+    batch = 2
+    cfg = _vit_hyena_config(batch)   # 256 tokens -> 64/device on model=4
+    model = build_model(cfg)
+    optim = OptimManager(cfg, num_train_samples=64)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(batch, 1, 64, 64, 1).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 2, size=(batch,)), jnp.int32)
+    set_active_mesh(None)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), x, deterministic=True)
+    state = create_train_state(model, variables, optim.transform)
+    step = make_train_step(model, get_loss_func("CrossEntropy"),
+                           optim.transform)
+    yield model, optim, state, step, x, labels
+    set_active_mesh(None)
+
+
+def test_sequence_parallel_matches_single_device(setup):
+    model, optim, state, step, x, labels = setup
+
+    # baseline: no mesh, single device
+    set_active_mesh(None)
+    ref_state, ref_loss, ref_out = jax.jit(step)(
+        state, x, labels, 1e-3, jax.random.PRNGKey(1))
+    ref_loss = float(ref_loss)
+
+    # sequence-parallel: 2 data x 4 model; the token axis (256) shards 4-way
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    sp_state = jax.device_put(state, repl)
+    sp_x = jax.device_put(x, bsh)
+    sp_labels = jax.device_put(labels, bsh)
+    sp_step = jax.jit(step)
+    new_state, loss, out = sp_step(sp_state, sp_x, sp_labels, 1e-3,
+                                   jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # CPU fp32 math is order-sensitive across the all-to-all re-sharding;
+    # agreement to ~1e-5 rules out any wiring error
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-5)
+    # parameter update parity (covers the full grad path incl. filter params)
+    rp = jax.tree_util.tree_leaves(ref_state.params)
+    sp = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+    for a, b in zip(rp, sp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_sequence_parallel_inserts_all_to_all(setup):
+    model, optim, state, step, x, labels = setup
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sp_state = jax.device_put(state, NamedSharding(mesh, P()))
+    sp_x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    sp_labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    compiled = jax.jit(step).lower(sp_state, sp_x, sp_labels, 1e-3,
+                                   jax.random.PRNGKey(1)).compile()
+    hlo = compiled.as_text()
+    assert "all-to-all" in hlo, \
+        "token<->channel re-shard around the long conv did not materialize"
