@@ -16,10 +16,59 @@ Usage: python bench.py  (runs on the default backend — the real TPU chip).
 
 from __future__ import annotations
 
+import collections
+import glob
+import gzip
 import json
+import os
+import shutil
+import tempfile
 import time
 
 V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+def _trace_step_bytes(run_steps, n_steps: int) -> int:
+    """Sum per-op HBM bytes_accessed over an n_steps profiler trace.
+
+    XLA's op profile annotates every device op (including Pallas
+    custom-calls) with its cost-analysis bytes; the sum over the 'XLA Ops'
+    thread divided by n_steps is the whole-step HBM traffic — the number the
+    roofline tables in BASELINE.md are built from.
+    """
+    import jax
+    tmpdir = tempfile.mkdtemp(prefix="lcbi_bench_trace_")
+    try:
+        with jax.profiler.trace(tmpdir):
+            run_steps(n_steps)
+        traces = sorted(glob.glob(os.path.join(
+            tmpdir, "plugins/profile/*/*.trace.json.gz")))
+        if not traces:
+            return 0
+        with gzip.open(traces[-1]) as f:
+            d = json.load(f)
+        ev = d["traceEvents"]
+        tpu_pid = xla_tid = None
+        for e in ev:
+            if e.get("ph") == "M" and e.get("name") == "process_name" \
+                    and "TPU" in str(e.get("args", {}).get("name", "")):
+                tpu_pid = e["pid"]
+        for e in ev:
+            if e.get("ph") == "M" and e.get("pid") == tpu_pid \
+                    and e.get("name") == "thread_name" \
+                    and e.get("args", {}).get("name") == "XLA Ops":
+                xla_tid = e["tid"]
+        total = 0
+        for e in ev:
+            if e.get("ph") == "X" and e.get("pid") == tpu_pid \
+                    and e.get("tid") == xla_tid:
+                total += int(e.get("args", {}).get("bytes_accessed", 0))
+        return total // max(n_steps, 1)
+    except Exception:
+        return 0
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def main():
@@ -95,11 +144,18 @@ def main():
     utilization = (flops_per_step / dt) / (V5E_PEAK_FLOPS * n_chips) \
         if flops_per_step == flops_per_step else 0.0
 
+    # achieved HBM bandwidth (VERDICT r2 #9): trace-measured bytes/step over
+    # the measured step time; 0.0 if the backend exposes no op profile
+    bytes_per_step = _trace_step_bytes(run_chain, 3)
+    hbm_util = (bytes_per_step / dt) / (V5E_PEAK_HBM_BPS * n_chips)
+
     print(json.dumps({
         "metric": "ptx_1024_swin_tiny_p2_w4_hyena_train_images_per_sec_chip",
         "value": round(images_per_sec_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(utilization, 4),
+        "hbm_util": round(hbm_util, 4),
+        "bytes_per_step": bytes_per_step,
     }))
 
 
