@@ -102,19 +102,21 @@ def _smm(c, x):
     return jnp.einsum("fk,...fn->...kn", c, x, precision=_FFT_PRECISION)
 
 
+# These caches MUST hold numpy, never jnp: array creation inside a trace
+# (e.g. the custom_vjp trace of _fft_conv_core) yields tracers, and a cached
+# tracer escaping to the next trace is an UnexpectedTracerError. numpy
+# constants are staged per-trace and constant-folded by XLA all the same.
 @functools.lru_cache(maxsize=None)
 def _dft_consts(f: int, sign: float):
     i = np.arange(f)
     ang = sign * 2 * np.pi / f * np.outer(i, i)
-    return (jnp.asarray(np.cos(ang).astype(np.float32)),
-            jnp.asarray(np.sin(ang).astype(np.float32)))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_consts(f: int, n2: int, n: int, sign: float):
     ang = sign * 2 * np.pi / n * np.outer(np.arange(f), np.arange(n2))
-    return (jnp.asarray(np.cos(ang).astype(np.float32)),
-            jnp.asarray(np.sin(ang).astype(np.float32)))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 def _cfft_scrambled(xr, xi, factors, sign: float):

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mixer", default="attention")
+    ap.add_argument("--encoder", default="Swin")
     ap.add_argument("--h", type=int, default=512)
     ap.add_argument("--w", type=int, default=512)
     ap.add_argument("--t", type=int, default=1)
@@ -29,8 +30,15 @@ def main():
     a = ap.parse_args()
 
     import jax, jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("LCBI_FORCE_CPU"):
+        # sitecustomize pre-registers the axon TPU plugin, so JAX_PLATFORMS
+        # env alone is ignored; force through jax.config (see tests/conftest).
+        # No persistent cache here: XLA:CPU AOT reloads are keyed to the
+        # compiling machine's ISA features and SIGILL across hosts.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from long_context_biomedical_imaging_tpu.losses import get_loss_func
     from long_context_biomedical_imaging_tpu.models import build_model
     from long_context_biomedical_imaging_tpu.optim import OptimManager
@@ -39,16 +47,21 @@ def main():
                                                              make_train_step)
 
     argv = [
-        "--encoder_name=Swin", f"--decoder_name={a.decoder}",
+        f"--encoder_name={a.encoder}", f"--decoder_name={a.decoder}",
         f"--task_type={a.task}", f"--height={a.h}", f"--width={a.w}",
         f"--time={a.t}", f"--no_in_channel={a.cin}", f"--no_out_channel={a.cout}",
-        f"--batch_size={a.b}", "--scheduler_type=OneCycleLR", "--use_amp",
-        "--Swin.size=tiny", "--Swin.patch_size", str(a.patch),
-        "--Swin.window_size", str(a.window),
-        f"--Swin.use_hyena={a.mixer=='hyena'}",
-        f"--Swin.use_mamba={a.mixer=='mamba'}"]
-    if a.remat:
-        argv += ["--Swin.use_checkpoint=True"]
+        f"--batch_size={a.b}", "--scheduler_type=OneCycleLR", "--use_amp"]
+    if a.encoder == "Swin":
+        argv += ["--Swin.size=tiny", "--Swin.patch_size", str(a.patch),
+                 "--Swin.window_size", str(a.window),
+                 f"--Swin.use_hyena={a.mixer=='hyena'}",
+                 f"--Swin.use_mamba={a.mixer=='mamba'}"]
+        if a.remat:
+            argv += ["--Swin.use_checkpoint=True"]
+    else:
+        argv += ["--ViT.size=small", "--ViT.patch_size", str(a.patch),
+                 f"--ViT.use_hyena={a.mixer=='hyena'}",
+                 f"--ViT.use_mamba={a.mixer=='mamba'}"]
     cfg = parse_config(argv=argv)
     check_args(cfg)
 
@@ -86,7 +99,8 @@ def main():
         float(loss)
         return time.perf_counter() - t0
 
-    n1, n2 = max(2, a.chain // 5), a.chain
+    n1 = max(1, a.chain // 5)
+    n2 = max(n1 + 1, a.chain)
     t1 = chain(n1); t2 = chain(n2)
     dt = max((t2 - t1) / (n2 - n1), 1e-9)
     print(f"mixer={a.mixer} {a.h}x{a.w}x{a.t} b{a.b} w{a.window}: "

@@ -639,6 +639,28 @@ def test_matmul_fft_conv_matches_xla_fft(rng):
                                rtol=1e-4, atol=2e-4)
 
 
+def test_matmul_fft_consts_survive_cross_trace_reuse(rng):
+    """Regression: _dft_consts/_twiddle_consts must cache NUMPY, not jnp —
+    array creation inside the custom_vjp trace of _fft_conv_core yields
+    tracers, and a cached tracer reused by a LATER trace (e.g. model.init
+    populates the cache, the train step hits it) raised
+    UnexpectedTracerError on every ViT-hyena config whose first FFT ran
+    under a different jit than the second."""
+    from long_context_biomedical_imaging_tpu.ops import fftconv as fc
+
+    fc._dft_consts.cache_clear()
+    fc._twiddle_consts.cache_clear()
+    u = jnp.asarray(rng.normal(size=(2, 3, 1024)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 1024)).astype(np.float32) * 0.1)
+    y1 = jax.jit(fc.fft_causal_conv)(u, k)                 # populates caches
+    y2 = jax.jit(lambda a, b: fc.fft_causal_conv(a, b) + 0.0)(u, k)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-5)
+    for cached in (fc._dft_consts(16, -1.0) + fc._twiddle_consts(16, 128,
+                                                                 2048, -1.0)):
+        assert isinstance(cached, np.ndarray)
+
+
 def test_toeplitz_long_conv_matches_fft(rng):
     """The Toeplitz-matmul mid-length branch == the FFT path (fp32)."""
     from long_context_biomedical_imaging_tpu.ops.fftconv import (
