@@ -16,11 +16,7 @@ Usage: python bench.py  (runs on the default backend — the real TPU chip).
 
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
 import json
-import os
 import shutil
 import tempfile
 import time
@@ -30,41 +26,17 @@ V5E_PEAK_HBM_BPS = 819e9
 
 
 def _trace_step_bytes(run_steps, n_steps: int) -> int:
-    """Sum per-op HBM bytes_accessed over an n_steps profiler trace.
-
-    XLA's op profile annotates every device op (including Pallas
-    custom-calls) with its cost-analysis bytes; the sum over the 'XLA Ops'
-    thread divided by n_steps is the whole-step HBM traffic — the number the
-    roofline tables in BASELINE.md are built from.
-    """
+    """Per-step HBM bytes from an n_steps profiler trace (the number the
+    roofline tables in BASELINE.md are built from)."""
     import jax
+
+    from long_context_biomedical_imaging_tpu.utils.traceio import \
+        trace_total_bytes
     tmpdir = tempfile.mkdtemp(prefix="lcbi_bench_trace_")
     try:
         with jax.profiler.trace(tmpdir):
             run_steps(n_steps)
-        traces = sorted(glob.glob(os.path.join(
-            tmpdir, "plugins/profile/*/*.trace.json.gz")))
-        if not traces:
-            return 0
-        with gzip.open(traces[-1]) as f:
-            d = json.load(f)
-        ev = d["traceEvents"]
-        tpu_pid = xla_tid = None
-        for e in ev:
-            if e.get("ph") == "M" and e.get("name") == "process_name" \
-                    and "TPU" in str(e.get("args", {}).get("name", "")):
-                tpu_pid = e["pid"]
-        for e in ev:
-            if e.get("ph") == "M" and e.get("pid") == tpu_pid \
-                    and e.get("name") == "thread_name" \
-                    and e.get("args", {}).get("name") == "XLA Ops":
-                xla_tid = e["tid"]
-        total = 0
-        for e in ev:
-            if e.get("ph") == "X" and e.get("pid") == tpu_pid \
-                    and e.get("tid") == xla_tid:
-                total += int(e.get("args", {}).get("bytes_accessed", 0))
-        return total // max(n_steps, 1)
+        return trace_total_bytes(tmpdir) // max(n_steps, 1)
     except Exception:
         return 0
     finally:

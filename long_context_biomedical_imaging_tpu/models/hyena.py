@@ -193,13 +193,10 @@ class HyenaOperator(nn.Module):
 
         if ln_params is None:
             return composed(u)
-        # composed fallback keeps the x + mixer(LN(x)) contract
-        u32 = u.astype(jnp.float32)
-        mu = jnp.mean(u32, axis=-1, keepdims=True)
-        var = jnp.mean(u32 * u32, axis=-1, keepdims=True) - mu * mu
-        y = (u32 - mu) * jax.lax.rsqrt(var + 1e-6)
-        y = (y * ln_params[0] + ln_params[1]).astype(u.dtype)
-        return u + composed(y)
+        # composed fallback keeps the x + mixer(LN(x)) contract; LN formula
+        # shared with the fused kernels (ops/fused_mlp.fast_layernorm)
+        from ..ops.fused_mlp import fast_layernorm
+        return u + composed(fast_layernorm(u, ln_params[0], ln_params[1]))
 
 
 def depthwise_conv_init(kernel_size: int):

@@ -173,12 +173,9 @@ class LNMLPResidual(nn.Module):
             from ..ops.fused_mlp import fused_ln_mlp_residual
             return fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
+        from ..ops.fused_mlp import fast_layernorm
         lead = x.shape[:-1]
-        x32 = x.reshape(-1, self.hidden_size).astype(jnp.float32)
-        mu = x32.mean(axis=-1, keepdims=True)
-        var = (x32 * x32).mean(axis=-1, keepdims=True) - mu * mu
-        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale
-             + ln_bias).astype(x.dtype)
+        y = fast_layernorm(x.reshape(-1, self.hidden_size), ln_scale, ln_bias)
         h = y @ w1.astype(x.dtype) + b1.astype(x.dtype)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)

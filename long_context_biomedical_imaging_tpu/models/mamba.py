@@ -116,13 +116,11 @@ class MambaVisionMixer(nn.Module):
         # here, mix the normalized stream, re-add the residual at the end
         residual = None
         if ln_params is not None:
+            # LN formula shared with the fused kernels (ops/fused_mlp)
+            from ..ops.fused_mlp import fast_layernorm
             residual = hidden_states
-            u32 = hidden_states.astype(jnp.float32)
-            mu = jnp.mean(u32, axis=-1, keepdims=True)
-            var = jnp.mean(u32 * u32, axis=-1, keepdims=True) - mu * mu
-            y = (u32 - mu) * jax.lax.rsqrt(var + 1e-6)
-            hidden_states = (y * ln_params[0]
-                             + ln_params[1]).astype(hidden_states.dtype)
+            hidden_states = fast_layernorm(hidden_states, ln_params[0],
+                                           ln_params[1])
 
 
         # Channel-minor throughout: (b, l, channels) with channels on the VPU

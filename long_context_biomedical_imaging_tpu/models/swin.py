@@ -146,31 +146,23 @@ class SwinTransformerBlock(nn.Module):
             # partition/reverse layout copies that XLA materializes per block
             # were ~15% of the ptx step; see BasicLayer).
             bw, v, c = x.shape
-            if self.use_hyena or self.use_mamba:
-                # pre-LN + residual fold into the fused mixer kernel (or its
-                # composed fallback): 2 fewer HBM passes over the stage tensor
-                # each way. Params declared here to keep one tree either way.
-                s = self.param("norm1_scale", nn.initializers.ones, (c,))
-                bln = self.param("norm1_bias", nn.initializers.zeros, (c,))
-                x = WindowAttention(
-                    dim=self.dim, num_heads=self.num_heads,
-                    window_size=self.window_size, qkv_bias=self.qkv_bias,
-                    dropout_rate=self.dropout_rate,
-                    name="attn")(x, None, use_hyena=self.use_hyena,
-                                 use_mamba=self.use_mamba,
-                                 deterministic=deterministic,
-                                 ln_params=(s, bln))
-            else:
-                shortcut = x
-                xw = nn.LayerNorm(name="norm1")(x)
-                attn_windows = WindowAttention(
-                    dim=self.dim, num_heads=self.num_heads,
-                    window_size=self.window_size, qkv_bias=self.qkv_bias,
-                    dropout_rate=self.dropout_rate,
-                    name="attn")(xw, None, use_hyena=False,
-                                 use_mamba=self.use_mamba,
-                                 deterministic=deterministic)
-                x = shortcut + attn_windows
+            # BasicLayer only routes hyena/mamba stages through the windowed
+            # layout (attention keeps the shift schedule, so its partition
+            # changes per block).
+            assert self.use_hyena or self.use_mamba
+            # pre-LN + residual fold into the fused mixer kernel (or its
+            # composed fallback): 2 fewer HBM passes over the stage tensor
+            # each way. Params declared here to keep one tree either way.
+            s = self.param("norm1_scale", nn.initializers.ones, (c,))
+            bln = self.param("norm1_bias", nn.initializers.zeros, (c,))
+            x = WindowAttention(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size, qkv_bias=self.qkv_bias,
+                dropout_rate=self.dropout_rate,
+                name="attn")(x, None, use_hyena=self.use_hyena,
+                             use_mamba=self.use_mamba,
+                             deterministic=deterministic,
+                             ln_params=(s, bln))
             flat = LNMLPResidual(self.dim, int(self.dim * self.mlp_ratio),
                                  self.dropout_rate, name="mlp")(
                 x.reshape(-1, c), deterministic)
@@ -253,7 +245,17 @@ class BasicLayer(nn.Module):
             # args after self: (x=0, attn_mask=1, deterministic=2)
             block_cls = nn.remat(SwinTransformerBlock, static_argnums=(2,))
 
-        if self.use_hyena or self.use_mamba:
+        # The stage-level windowed layout requires the (shrunk) window to
+        # divide every spatial dim: with padding, pad tokens would live in the
+        # stream across blocks — LayerNormed as data (LN(0-row) = ln_bias) and
+        # leaking into real tokens through the causal window convs — where the
+        # reference re-zeroes them after every block's norm1. Non-multiple
+        # geometries take the per-block path below, which pads the LN'd
+        # tensor with exact zeros per block (matching the reference); all six
+        # flagship geometries divide evenly and keep the fast path.
+        divisible = all(dim_ % ws == 0 for dim_, ws in
+                        zip((d, h, w), window_size))
+        if (self.use_hyena or self.use_mamba) and divisible:
             # Shift is disabled for hyena/mamba (ref: backbone_swin.py:674),
             # so every block shares the identical partition: partition once,
             # run the whole stage in (B*nW, V, C) windowed layout, reverse

@@ -149,6 +149,18 @@ def _ln_fwd(x32, g, b):
     return xhat * g + b, xhat, rstd
 
 
+def fast_layernorm(x, scale, bias):
+    """LayerNorm over the last axis, fp32 stats, result in x.dtype.
+
+    The ONE shared definition of the fast-variance LN the fused kernels use
+    in-kernel (_ln_fwd): the composed mixer/MLP fallbacks
+    (models/{hyena,mamba,layers}.py) call this so fused-vs-composed parity
+    cannot drift if the eps or variance form ever changes."""
+    y, _, _ = _ln_fwd(x.astype(jnp.float32), scale.astype(jnp.float32),
+                      bias.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def _ln_bwd(dy, xhat, rstd, g):
     """dx of LayerNorm given upstream dy; also returns (dgamma, dbeta) summed
     over all leading axes."""

@@ -12,6 +12,9 @@ A 'model' axis is provisioned for tensor-parallel sharding of qkv/mlp matmuls
 
 from __future__ import annotations
 
+import contextlib
+import warnings
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -25,7 +28,12 @@ def create_mesh(data_parallel: int | None = None, model_parallel: int = 1) -> Me
     assert data_parallel * model_parallel == n, \
         f"mesh {data_parallel}x{model_parallel} != {n} devices"
     mesh = Mesh(devices.reshape(data_parallel, model_parallel), ("data", "model"))
-    set_active_mesh(mesh)
+    # Only a >1 'model' axis changes model-code behavior (constrain() starts
+    # sharding and fused kernels step aside); plain DP meshes must not touch
+    # process-global state, or an unrelated mesh build would silently knock
+    # every later-traced model off the fused Pallas paths.
+    if model_parallel > 1:
+        set_active_mesh(mesh)
     return mesh
 
 
@@ -49,6 +57,19 @@ def set_active_mesh(mesh: Mesh | None) -> None:
     _ACTIVE_MESH = mesh
 
 
+@contextlib.contextmanager
+def use_active_mesh(mesh: Mesh | None):
+    """Scope the active mesh: restores the previous value on exit, so tests
+    and notebooks can trace sequence-parallel models without leaking the
+    model-axis gate into every later trace in the process."""
+    prev = _ACTIVE_MESH
+    set_active_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_active_mesh(prev)
+
+
 def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH
 
@@ -60,7 +81,10 @@ def model_axis_size() -> int:
 
 def constrain(x, *spec):
     """with_sharding_constraint against the active mesh; identity when the
-    'model' axis is 1/absent or the sharded dims don't divide evenly."""
+    'model' axis is 1/absent or the sharded dims don't divide evenly (the
+    fallback warns: a silently replicated tensor defeats the beyond-HBM
+    sharding the user asked for, so the non-divisible geometry must be
+    visible, once per trace)."""
     m = _ACTIVE_MESH
     if m is None or int(m.shape.get("model", 1)) == 1:
         return x
@@ -70,6 +94,12 @@ def constrain(x, *spec):
         size = int(np.prod([m.shape[a] for a in
                             ((s,) if isinstance(s, str) else s)]))
         if x.shape[dim] % size:
+            warnings.warn(
+                f"sequence-parallel constraint P{spec} skipped for shape "
+                f"{x.shape}: dim {dim} ({x.shape[dim]}) is not divisible by "
+                f"the mesh axis product {size}; the tensor stays replicated "
+                f"on every chip. Pick a geometry whose token/channel counts "
+                f"divide --model_parallel.", stacklevel=2)
             return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(m, P(*spec)))
 

@@ -153,8 +153,6 @@ def main():
                 g = v * x1
                 if variant == "full":
                     vl = Hy._causal_mac(gpad_scr, g, kl_ref[...], V)
-                elif variant == "long-concat":
-                    vl = conv_concat(g, kl_ref[...])
                 elif variant == "long-aligned":
                     vl = conv_aligned(gpad_scr, g, kl_ref[...])
                 elif variant == "long-pad":
@@ -260,7 +258,10 @@ def main():
                     c0 = 0.7978845608028654
                     h = 0.5 * u * (1.0 + jnp.tanh(c0 * (u + 0.044715 * u ** 3)))
                 else:
-                    h = M._gelu(u)
+                    # exact-erf GELU (dt=fp32 selects the erf branch; the
+                    # bf16 default would dispatch to tanh and void the
+                    # erf-vs-tanh comparison this variant exists for)
+                    h = M._gelu(u, jnp.float32)
                 out = M._dot(h, w2_ref[...], dt) + b2_ref[0][None, :]
                 o_ref[...] = out.astype(o_ref.dtype)
 

@@ -7,7 +7,7 @@ flags as bench_config.py) [--top 40] [--steps 3] [--keep-trace DIR]
 The axon relay exposes the real TPU op timeline ("XLA Ops" thread), so this
 gives the trace-backed per-op breakdown VERDICT round-2 item #1 asks for.
 """
-import argparse, collections, glob, gzip, json, os, re, shutil, sys, tempfile
+import argparse, collections, os, re, shutil, sys, tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -115,21 +115,9 @@ def main():
             state, loss, _ = compiled(state, x, labels, 1e-4, rng)
         float(loss)
 
-    tr = sorted(glob.glob(os.path.join(tmpdir, "plugins/profile/*/*.trace.json.gz")))[-1]
-    with gzip.open(tr) as f:
-        d = json.load(f)
-    ev = d["traceEvents"]
-    # find the "XLA Ops" tid on the TPU pid
-    tpu_pid = xla_tid = None
-    for e in ev:
-        if e.get("ph") == "M" and e.get("name") == "process_name" \
-                and "TPU" in str(e.get("args", {}).get("name", "")):
-            tpu_pid = e["pid"]
-    for e in ev:
-        if e.get("ph") == "M" and e.get("pid") == tpu_pid \
-                and e.get("name") == "thread_name" \
-                and e.get("args", {}).get("name") == "XLA Ops":
-            xla_tid = e["tid"]
+    from long_context_biomedical_imaging_tpu.utils.traceio import \
+        load_xla_op_events
+    events = load_xla_op_events(tmpdir)
     per_op = collections.Counter()
     per_op_bytes = collections.Counter()
     op_args = {}
@@ -139,22 +127,21 @@ def main():
     calls = collections.Counter()
     gcalls = collections.Counter()
     total = 0.0
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") == tpu_pid and e.get("tid") == xla_tid:
-            dur = e.get("dur", 0) / 1e3  # us -> ms
-            name = e["name"]
-            group = re.sub(r"[.\d]+$", "", name)
-            per_op[name] += dur
-            per_op_bytes[name] += int(
-                e.get("args", {}).get("bytes_accessed", 0))
-            op_args.setdefault(name, e.get("args", {}))
-            calls[name] += 1
-            per_group[group] += dur
-            gcalls[group] += 1
-            per_group_bytes[group] += int(
-                e.get("args", {}).get("bytes_accessed", 0))
-            per_bucket[classify(name)] += dur
-            total += dur
+    for e in events:
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e["name"]
+        group = re.sub(r"[.\d]+$", "", name)
+        per_op[name] += dur
+        per_op_bytes[name] += int(
+            e.get("args", {}).get("bytes_accessed", 0))
+        op_args.setdefault(name, e.get("args", {}))
+        calls[name] += 1
+        per_group[group] += dur
+        gcalls[group] += 1
+        per_group_bytes[group] += int(
+            e.get("args", {}).get("bytes_accessed", 0))
+        per_bucket[classify(name)] += dur
+        total += dur
     nsteps = a.steps
     print(f"\n=== device XLA-op time over {nsteps} steps: {total:.1f} ms "
           f"({total/nsteps:.1f} ms/step) ===")

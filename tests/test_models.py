@@ -144,6 +144,25 @@ def test_swin_3d_upernet3d_mamba():
     assert out.shape == (1, 16, 16, 16, 4)
 
 
+@pytest.mark.parametrize("mixer", ["hyena", "mamba"])
+def test_swin_mixer_non_window_multiple_geometry(mixer):
+    """Regression: stage dims that aren't window multiples must NOT use the
+    stage-level windowed layout — its pads would persist across blocks,
+    get LayerNormed as data, and leak into real tokens through the causal
+    window convs (the reference re-zeroes pads after every block's norm1).
+    24x24 @ patch 2 -> stage dims 12, 6, 3 with window 4: stages 1-2 must
+    fall back to the per-block path (nn.LayerNorm 'norm1' in the block, vs
+    the windowed path's 'norm1_scale')."""
+    cfg = swin_cfg("SwinLinear", "class", mixer=mixer, h=24, w=24)
+    out, variables = init_and_forward(cfg)
+    assert out.shape == (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    p = variables["params"]["encoder"]
+    assert "norm1_scale" in p["layer_0"]["block_0"]          # 12 % 4 == 0
+    assert "norm1" in p["layer_1"]["block_0"]                # 6 % 4 != 0
+    assert "norm1_scale" not in p["layer_1"]["block_0"]
+
+
 @pytest.mark.slow
 def test_swin_hidden_state_contract():
     cfg = swin_cfg("SwinLinear", "class")
