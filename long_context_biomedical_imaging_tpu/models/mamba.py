@@ -26,9 +26,17 @@ import numpy as np
 from ..ops import depthwise_conv1d_cm, selective_scan_chunked
 from ..ops.mamba_window import mamba_window_mixer, mamba_window_supported
 from ..ops.selective_scan import selective_scan_cm
+from ..ops.selective_scan_long import long_scan_supported, selective_scan_long
 from ..ops.selective_scan_pallas import pallas_scan_supported, selective_scan_pallas
 from .hyena import depthwise_conv_init
 from .layers import torch_linear_kernel_init
+
+
+def _use_long_scan(L: int, n: int, d: int) -> bool:
+    """Full-sequence dispatch: blocked Pallas long scan on TPU, chunked XLA
+    associative scan on CPU (interpret-mode Pallas would crawl). Split out so
+    tests can monkeypatch the gate and exercise the long-path wiring."""
+    return long_scan_supported(L, n, d) and jax.default_backend() != "cpu"
 
 
 def _dt_proj_kernel_init(dt_rank: int, dt_scale: float = 1.0):
@@ -156,8 +164,17 @@ class MambaVisionMixer(nn.Module):
             y = selective_scan_cm(x, dt, A, B, C, D,
                                   delta_bias=dt_bias,  # added twice on purpose
                                   delta_softplus=True)
+        elif _use_long_scan(L, self.d_state, d_half):
+            # long full-sequence (ViT) mixing: blocked Pallas kernel —
+            # segments as VPU rows, two-pass carry stitch; the N-expanded
+            # state never touches HBM (vs the XLA chunked scan's log-depth
+            # passes over the (B, D, L, N) discretization)
+            y = selective_scan_long(x, dt, A, B, C, D,
+                                    delta_bias=dt_bias,  # added twice on purpose
+                                    delta_softplus=True)
         else:
-            # long full-sequence (ViT) mixing: chunked associative scan
+            # CPU fallback (interpret-mode Pallas would crawl): chunked
+            # associative scan
             y = selective_scan_chunked(
                 x.transpose(0, 2, 1), dt.transpose(0, 2, 1), A,
                 B.transpose(0, 2, 1), C.transpose(0, 2, 1), D,

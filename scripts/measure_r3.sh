@@ -47,6 +47,7 @@ if has profile; then
   run scripts/profile_step.py --mixer hyena --h 1024 --w 1024 --b 4 --window 4 --patch 2 --top 25          # ptx
   run scripts/profile_step.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10 --remat --top 25  # abct
   run scripts/profile_step.py --encoder ViT --mixer hyena --patch 4 --h 1024 --w 1024 --b 1 --decoder ViTLinear --top 25  # ViT 65k hyena
+  run scripts/profile_step.py --encoder ViT --mixer mamba --patch 4 --h 1024 --w 1024 --b 1 --decoder ViTLinear --top 25  # ViT 65k mamba (chunked scan cost)
 fi
 
 if has overfit; then

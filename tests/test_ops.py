@@ -230,6 +230,93 @@ def test_pallas_selective_scan_parity(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_long_scan_parity(rng):
+    """Blocked long-sequence scan (segments as rows + two-pass carry stitch)
+    vs the golden reference: fwd + all grads. L=136 is deliberately NOT a
+    multiple of SEG=64 (3 segments, last one padded) and b=2 checks the
+    per-batch carry chains stay isolated."""
+    from long_context_biomedical_imaging_tpu.ops.selective_scan_long import (
+        selective_scan_long)
+
+    b, l, d, n = 2, 136, 12, 4
+    u = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(b, l, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(b, l, n)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def ref(u, delta, A, B, C):
+        return selective_scan_reference(
+            u.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+            B.transpose(0, 2, 1), C.transpose(0, 2, 1), D, db).transpose(0, 2, 1)
+
+    got = selective_scan_long(u, delta, A, B, C, D, db)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(u, delta, A, B, C)),
+                               rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(selective_scan_long(*a, D, db))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a, g_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g_),
+                                   rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_pallas_long_scan_chunked_channels(rng):
+    """Long scan with N*D over the single-chunk lane budget (n_j > 1) at the
+    ViT-small mamba geometry ratios: fwd + grads vs the chunked XLA scan."""
+    from long_context_biomedical_imaging_tpu.ops import selective_scan_long as ssl
+    from long_context_biomedical_imaging_tpu.ops.selective_scan import (
+        selective_scan_chunked)
+
+    b, l, d, n = 1, 192, 160, 8                # N*D=1280 -> 2 channel chunks
+    assert ssl._pick_chunk(n, d) < d
+    u = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    delta = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(d, n)).astype(np.float32)))
+    B = jnp.asarray(rng.normal(size=(b, l, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(b, l, n)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def ref(u, delta, A, B, C):
+        return selective_scan_chunked(
+            u.transpose(0, 2, 1), delta.transpose(0, 2, 1), A,
+            B.transpose(0, 2, 1), C.transpose(0, 2, 1), D,
+            delta_bias=db, chunk=64).transpose(0, 2, 1)
+
+    got = ssl.selective_scan_long(u, delta, A, B, C, D, db)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(u, delta, A, B, C)),
+                               rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        ssl.selective_scan_long(*a, D, db))), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a, g_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g_),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_mamba_mixer_long_path_wiring(rng, monkeypatch):
+    """The mixer's full-sequence long-scan branch (TPU-only by default) must
+    produce the same output as the chunked-XLA branch it replaces — catches
+    wiring bugs (layout/argument order) that op-level parity can't see."""
+    from long_context_biomedical_imaging_tpu.models import mamba as M
+
+    mixer = M.MambaVisionMixer(d_model=8, d_state=4, d_conv=3, expand=1)
+    x = jnp.asarray(rng.normal(size=(1, 1088, 8)).astype(np.float32))
+    vs = mixer.init(jax.random.PRNGKey(0), x)
+    ref = mixer.apply(vs, x)                    # CPU gate false -> chunked XLA
+    monkeypatch.setattr(M, "_use_long_scan", lambda *a: True)
+    got = mixer.apply(vs, x)                    # forced long-kernel branch
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_selective_scan_chunked_channels(rng):
     """Channel-chunked grid (N*D over the 1024-lane single-chunk budget, with
     uneven chunks forcing channel padding): fwd + all grads vs reference."""
