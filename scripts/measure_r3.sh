@@ -48,6 +48,8 @@ if has profile; then
   run scripts/profile_step.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10 --remat --top 25  # abct
   run scripts/profile_step.py --encoder ViT --mixer hyena --patch 4 --h 1024 --w 1024 --b 1 --decoder ViTLinear --top 25  # ViT 65k hyena
   run scripts/profile_step.py --encoder ViT --mixer mamba --patch 4 --h 1024 --w 1024 --b 1 --decoder ViTLinear --top 25  # ViT 65k mamba (chunked scan cost)
+  run scripts/bench_long_scan.py --l 65536 --d 192 --n 8       # long-scan kernel A/B at the ViT-small geometry
+  run scripts/bench_long_scan.py --l 16384 --d 192 --n 8
 fi
 
 if has overfit; then
