@@ -125,3 +125,42 @@ def test_e2e_swin_mixers(tmp_path, mixer):
     metrics = dict(l.split(": ") for l in
                    open(f"{run_dir}/val_metrics.txt").read().strip().splitlines())
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_traceio_parses_xla_op_timeline(tmp_path):
+    """utils/traceio.py (shared by bench.py and profile_step.py): TPU pid /
+    'XLA Ops' tid discovery and bytes_accessed summation on a synthetic
+    Chrome-trace, plus the empty-trace fallbacks."""
+    import gzip
+    import json
+
+    from long_context_biomedical_imaging_tpu.utils.traceio import (
+        load_xla_op_events, trace_total_bytes)
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    ev = [
+        {"ph": "M", "name": "process_name", "pid": 7,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 3,
+         "args": {"name": "python"}},
+        {"ph": "M", "name": "thread_name", "pid": 7, "tid": 42,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "name": "thread_name", "pid": 7, "tid": 43,
+         "args": {"name": "Steps"}},
+        {"ph": "X", "pid": 7, "tid": 42, "name": "fusion.1", "dur": 1000,
+         "args": {"bytes_accessed": 100}},
+        {"ph": "X", "pid": 7, "tid": 42, "name": "copy.2", "dur": 500,
+         "args": {"bytes_accessed": 23}},
+        {"ph": "X", "pid": 7, "tid": 43, "name": "train_step", "dur": 9000,
+         "args": {"bytes_accessed": 10**9}},          # wrong tid: excluded
+        {"ph": "X", "pid": 3, "tid": 42, "name": "host_op", "dur": 9000,
+         "args": {"bytes_accessed": 10**9}},          # wrong pid: excluded
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": ev}, f)
+
+    events = load_xla_op_events(str(tmp_path))
+    assert sorted(e["name"] for e in events) == ["copy.2", "fusion.1"]
+    assert trace_total_bytes(str(tmp_path)) == 123
+    assert load_xla_op_events(str(tmp_path / "nonexistent")) == []
