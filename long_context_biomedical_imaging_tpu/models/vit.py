@@ -124,21 +124,24 @@ class ViTBackbone(nn.Module):
                 [jnp.broadcast_to(cls, (tokens.shape[0], 1, self.hidden_size)),
                  tokens], axis=1)
 
-        # Sequence parallelism for beyond-HBM hyena contexts: pin the token
-        # axis to the mesh 'model' axis at block boundaries (no-op on a
-        # model=1 mesh). Hyena only — its ops are token-local except the
-        # depthwise long conv, which re-shards to channel-parallel around the
-        # FFT (ops/hyena long-conv constraint); attention/mamba mix globally
-        # through Pallas kernels that do not SPMD-partition.
+        # Sequence parallelism for beyond-HBM contexts: pin the token axis to
+        # the mesh 'model' axis at block boundaries (no-op on a model=1
+        # mesh). Hyena: every op is token-local except the depthwise long
+        # conv, which re-shards to channel-parallel around it (models/hyena).
+        # Attention: LN/qkv/MLP are token-local and the flash kernel runs
+        # per query shard under shard_map against gathered k/v
+        # (ops/attention.sp_flash_attention). Mamba stays replicated — the
+        # scan's cross-token recurrence would serialize across chips.
         from ..parallel.mesh import shard_tokens
-        if self.use_hyena:
+        sp = self.use_hyena or not self.use_mamba
+        if sp:
             tokens = shard_tokens(tokens)
         for i in range(self.num_layers):
             tokens = TransformerBlock(
                 self.hidden_size, self.mlp_dim, self.num_heads, self.use_hyena,
                 self.use_mamba, self.dropout_rate, self.qkv_bias,
                 name=f"block_{i}")(tokens, deterministic)
-            if self.use_hyena:
+            if sp:
                 tokens = shard_tokens(tokens)
             hidden_states.append(tokens)
         tokens = nn.LayerNorm(name="norm")(tokens)

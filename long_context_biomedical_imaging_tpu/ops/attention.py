@@ -36,6 +36,43 @@ def attention_reference(q, k, v, bias=None, scale=None):
     return jnp.einsum("...hqk,...hkd->...hqd", p.astype(v.dtype), v)
 
 
+def sp_flash_attention(q, k, v, scale=None):
+    """Sequence-parallel flash attention over the mesh 'model' axis.
+
+    q, k, v: (B, H, L, D). The query token axis is sharded over 'model'
+    (padded to divide); k/v are replicated per chip (XLA inserts the
+    all-gather to satisfy the shard_map in_specs), and each chip runs the
+    Pallas flash kernel on its query shard against the full key/value
+    sequence — the kernel's kv_len masking already handles the un-padded
+    keys. A pallas_call cannot be SPMD-partitioned by GSPMD, so without the
+    shard_map wrapper the kernel would force a full all-gather of q AND
+    serialize on one chip's compute.
+
+    Memory per chip: O(L/k) queries + O(L) transient k/v — the O(L^2) score
+    matrix never exists (blockwise kernel), and the gradient path psums the
+    per-shard dk/dv partials (shard_map transpose of the replicated inputs).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import active_mesh
+    mesh = active_mesh()
+    ways = int(mesh.shape["model"])
+    b, h, l, d = q.shape
+    pad = (-l) % ways
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    f = jax.shard_map(
+        lambda qq, kk, vv: flash_attention(qq, kk, vv, scale=scale),
+        mesh=mesh,
+        in_specs=(P(None, None, "model", None), P(), P()),
+        out_specs=P(None, None, "model", None),
+        check_vma=False,  # custom_vjp inside; varying-axes checking rejects it
+    )
+    out = f(q, k, v)
+    return out[:, :, :l] if pad else out
+
+
 def multi_head_attention(q, k, v, bias=None, scale=None, use_flash: str = "auto"):
     """Dispatching attention entry point.
 
@@ -50,8 +87,13 @@ def multi_head_attention(q, k, v, bias=None, scale=None, use_flash: str = "auto"
         b = 1
         for s in lead:
             b *= s
-        out = flash_attention(q.reshape(b, *q.shape[-3:]),
-                              k.reshape(b, *k.shape[-3:]),
-                              v.reshape(b, *v.shape[-3:]), scale=scale)
+        qf = q.reshape(b, *q.shape[-3:])
+        kf = k.reshape(b, *k.shape[-3:])
+        vf = v.reshape(b, *v.shape[-3:])
+        from ..parallel.mesh import model_axis_size
+        if model_axis_size() > 1:
+            out = sp_flash_attention(qf, kf, vf, scale=scale)
+        else:
+            out = flash_attention(qf, kf, vf, scale=scale)
         return out.reshape(*lead, *out.shape[-3:])
     return attention_reference(q, k, v, bias=bias, scale=scale)

@@ -104,3 +104,88 @@ def test_sequence_parallel_inserts_all_to_all(setup):
     hlo = compiled.as_text()
     assert "all-to-all" in hlo, \
         "token<->channel re-shard around the long conv did not materialize"
+
+
+def test_sp_flash_attention_matches_unsharded():
+    """sp_flash_attention (q sharded over 'model' under shard_map, k/v
+    gathered, Pallas kernel per shard) == single-device flash, fwd + grads,
+    including a token count that does NOT divide the model axis (padding
+    path)."""
+    import jax.numpy as jnp
+
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.ops.flash_attention import (
+        flash_attention)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, 2, 258, 16).astype(np.float32))  # 258 % 4 != 0
+    k = jnp.asarray(rs.randn(2, 2, 258, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 2, 258, 16).astype(np.float32))
+
+    ref = flash_attention(q, k, v)
+    gref = jax.grad(lambda *a: jnp.sum(jnp.sin(flash_attention(*a))),
+                    argnums=(0, 1, 2))(q, k, v)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        got = jax.jit(sp_flash_attention)(q, k, v)
+        gsp = jax.jit(jax.grad(
+            lambda *a: jnp.sum(jnp.sin(sp_flash_attention(*a))),
+            argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sequence_parallel_vit_attention_train_step():
+    """Full ViT-attention train step under SP (flash >= 1024 tokens, plus a
+    cls token so the residual stream is non-divisible and stays replicated
+    with a warning while attention itself shards): loss/update parity vs the
+    unsharded step."""
+    cfg = parse_config(argv=[
+        "--encoder_name=ViT", "--decoder_name=ViTLinear", "--task_type=class",
+        "--height=128", "--width=128", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2",
+        "--batch_size=2", "--scheduler_type=OneCycleLR",
+        "--ViT.size=custom", "--ViT.patch_size", "4",
+        "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+        "--ViT.num_layers=2", "--ViT.num_heads=4"])
+    check_args(cfg)
+    model = build_model(cfg)
+    optim = OptimManager(cfg, num_train_samples=64)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 1, 128, 128, 1).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 2, size=(2,)), jnp.int32)
+    set_active_mesh(None)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), x, deterministic=True)
+    state = create_train_state(model, variables, optim.transform)
+    step = make_train_step(model, get_loss_func("CrossEntropy"),
+                           optim.transform)
+
+    ref_state, ref_loss, _ = jax.jit(step)(state, x, labels, 1e-3,
+                                           jax.random.PRNGKey(1))
+    ref_loss = float(ref_loss)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    try:
+        sp_state = jax.device_put(state, NamedSharding(mesh, P()))
+        sp_x = jax.device_put(x, NamedSharding(mesh, P("data")))
+        sp_labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        new_state, loss, _ = jax.jit(step)(sp_state, sp_x, sp_labels, 1e-3,
+                                           jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        rp = jax.tree_util.tree_leaves(ref_state.params)
+        sp = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+        for a, b in zip(rp, sp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=1e-5)
+    finally:
+        set_active_mesh(None)
