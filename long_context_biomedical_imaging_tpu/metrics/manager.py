@@ -56,8 +56,18 @@ def _ragged_allgather(preds: np.ndarray, labels: np.ndarray):
     reference's DistributedSampler pads instead, so its dist.gather is total,
     ref: trainer_base.py:276-283, metrics_base.py:344-350). Pad every process
     to the global max count, gather, then trim each segment by its true count.
+
+    Dtypes are canonicalized (preds->float32, labels->int32) BEFORE the
+    collective: the gather declares one global dtype, and per-process inputs
+    can disagree (bf16 AMP preds vs a zero-row process's float32 empty,
+    int32 pipeline labels vs an int64 empty). int32 because the gather
+    round-trips through jnp, which silently downcasts int64 under the
+    default x64-disabled config.
     """
     from jax.experimental import multihost_utils
+
+    preds = preds.astype(np.float32, copy=False)
+    labels = labels.astype(np.int32, copy=False)
 
     counts = np.asarray(multihost_utils.process_allgather(
         np.array([preds.shape[0]], np.int64))).reshape(-1)

@@ -32,20 +32,19 @@ def load_xla_op_events(trace_dir: str) -> list[dict]:
     with gzip.open(traces[-1]) as f:
         d = json.load(f)
     ev = d.get("traceEvents", [])
-    tpu_pid = xla_tid = None
-    for e in ev:
-        if e.get("ph") == "M" and e.get("name") == "process_name" \
-                and "TPU" in str(e.get("args", {}).get("name", "")):
-            tpu_pid = e["pid"]
-    for e in ev:
-        if e.get("ph") == "M" and e.get("pid") == tpu_pid \
-                and e.get("name") == "thread_name" \
-                and e.get("args", {}).get("name") == "XLA Ops":
-            xla_tid = e["tid"]
-    if tpu_pid is None or xla_tid is None:
+    # One process per TPU device in the trace — collect them ALL so
+    # multi-chip bytes sum across chips (bench.py divides by peak * n_chips).
+    tpu_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    xla_tids = {(e["pid"], e["tid"]) for e in ev
+                if e.get("ph") == "M" and e.get("pid") in tpu_pids
+                and e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Ops"}
+    if not xla_tids:
         return []
-    return [e for e in ev if e.get("ph") == "X" and e.get("pid") == tpu_pid
-            and e.get("tid") == xla_tid]
+    return [e for e in ev if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in xla_tids]
 
 
 def trace_total_bytes(trace_dir: str) -> int:

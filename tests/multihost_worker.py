@@ -113,11 +113,23 @@ def main():
     assert abs(MF.auroc(g_preds, g_labels, True)
                - MF.auroc(all_preds, all_labels, True)) < 1e-9
 
-    # multiclass (n, C) preds + a zero-row process
+    # multiclass (n, C) preds + a zero-row process, with MISMATCHED
+    # per-process dtypes: the non-empty process holds bf16 AMP preds and
+    # int32 pipeline labels while the zero-row process falls back to
+    # float32/int64 empties — the gather must canonicalize before the
+    # collective declares a global dtype.
     mc = rs.rand(9, 3).astype(np.float32)
     lo, hi = (0, 9) if pid == 0 else (9, 9)
-    g_mc, g_lab = _ragged_allgather(mc[lo:hi], all_labels[lo:hi])
-    assert np.allclose(g_mc, mc) and np.array_equal(g_lab, all_labels)
+    import jax.numpy as jnp
+    local_mc = (np.asarray(jnp.asarray(mc[lo:hi], jnp.bfloat16))
+                if pid == 0 else np.zeros((0, 3), np.float32))
+    local_lab = (all_labels[lo:hi].astype(np.int32)
+                 if pid == 0 else np.zeros((0,), np.int64))
+    g_mc, g_lab = _ragged_allgather(local_mc, local_lab)
+    assert g_mc.dtype == np.float32 and g_lab.dtype == np.int32, (g_mc.dtype,
+                                                                  g_lab.dtype)
+    assert np.allclose(g_mc, mc, atol=1e-2) and np.array_equal(
+        g_lab, all_labels)
 
     print(f"worker {pid}: OK", flush=True)
 

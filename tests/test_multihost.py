@@ -1,4 +1,3 @@
-import pytest
 """2-process multi-host test: full run.py training + multi-host primitives.
 
 Spawns two subprocesses (tests/multihost_worker.py), each a separate JAX
@@ -16,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

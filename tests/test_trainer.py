@@ -156,11 +156,20 @@ def test_traceio_parses_xla_op_timeline(tmp_path):
          "args": {"bytes_accessed": 10**9}},          # wrong tid: excluded
         {"ph": "X", "pid": 3, "tid": 42, "name": "host_op", "dur": 9000,
          "args": {"bytes_accessed": 10**9}},          # wrong pid: excluded
+        # a second TPU device (multi-chip trace: one process per chip) —
+        # its XLA Ops bytes must be INCLUDED, not overwrite chip 0's
+        {"ph": "M", "name": "process_name", "pid": 8,
+         "args": {"name": "/device:TPU:1"}},
+        {"ph": "M", "name": "thread_name", "pid": 8, "tid": 11,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 8, "tid": 11, "name": "fusion.9", "dur": 700,
+         "args": {"bytes_accessed": 1000}},
     ]
     with gzip.open(d / "host.trace.json.gz", "wt") as f:
         json.dump({"traceEvents": ev}, f)
 
     events = load_xla_op_events(str(tmp_path))
-    assert sorted(e["name"] for e in events) == ["copy.2", "fusion.1"]
-    assert trace_total_bytes(str(tmp_path)) == 123
+    assert sorted(e["name"] for e in events) == ["copy.2", "fusion.1",
+                                                 "fusion.9"]
+    assert trace_total_bytes(str(tmp_path)) == 1123
     assert load_xla_op_events(str(tmp_path / "nonexistent")) == []
