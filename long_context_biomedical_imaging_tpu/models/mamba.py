@@ -27,6 +27,7 @@ from ..ops import depthwise_conv1d_cm, selective_scan_chunked
 from ..ops.mamba_window import mamba_window_mixer, mamba_window_supported
 from ..ops.selective_scan import selective_scan_cm
 from ..ops.selective_scan_long import long_scan_supported, selective_scan_long
+from ..ops.selective_scan_sp import sp_selective_scan_cm
 from ..ops.selective_scan_pallas import pallas_scan_supported, selective_scan_pallas
 from .hyena import depthwise_conv_init
 from .layers import torch_linear_kernel_init
@@ -154,8 +155,17 @@ class MambaVisionMixer(nn.Module):
 
         dt = dt @ dt_kernel + dt_bias                              # (b, l, d_half)
 
-        if pallas_scan_supported(L, self.d_state, d_half,
-                                 batch=hidden_states.shape[0]):
+        from ..parallel.mesh import model_axis_size
+        k_sp = model_axis_size()
+        if k_sp > 1 and L > 1024 and L % k_sp == 0:
+            # sequence-parallel full-sequence regime: tokens sharded over the
+            # mesh 'model' axis; each chip scans its segment and the carries
+            # stitch across chips (ops/selective_scan_sp)
+            y = sp_selective_scan_cm(x, dt, A, B, C, D,
+                                     delta_bias=dt_bias,  # added twice on purpose
+                                     delta_softplus=True)
+        elif pallas_scan_supported(L, self.d_state, d_half,
+                                   batch=hidden_states.shape[0]):
             # windowed regime: fused Pallas kernel (state never leaves VMEM)
             y = selective_scan_pallas(x, dt, A, B, C, D,
                                       delta_bias=dt_bias,  # added twice on purpose

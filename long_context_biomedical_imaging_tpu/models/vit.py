@@ -130,19 +130,17 @@ class ViTBackbone(nn.Module):
         # conv, which re-shards to channel-parallel around it (models/hyena).
         # Attention: LN/qkv/MLP are token-local and the flash kernel runs
         # per query shard under shard_map against gathered k/v
-        # (ops/attention.sp_flash_attention). Mamba stays replicated — the
-        # scan's cross-token recurrence would serialize across chips.
+        # (ops/attention.sp_flash_attention). Mamba: each chip scans its
+        # token segment and the (decay, state) carries stitch across chips
+        # (ops/selective_scan_sp.sp_selective_scan_cm).
         from ..parallel.mesh import shard_tokens
-        sp = self.use_hyena or not self.use_mamba
-        if sp:
-            tokens = shard_tokens(tokens)
+        tokens = shard_tokens(tokens)
         for i in range(self.num_layers):
             tokens = TransformerBlock(
                 self.hidden_size, self.mlp_dim, self.num_heads, self.use_hyena,
                 self.use_mamba, self.dropout_rate, self.qkv_bias,
                 name=f"block_{i}")(tokens, deterministic)
-            if sp:
-                tokens = shard_tokens(tokens)
+            tokens = shard_tokens(tokens)
             hidden_states.append(tokens)
         tokens = nn.LayerNorm(name="norm")(tokens)
         hidden_states.append(tokens)

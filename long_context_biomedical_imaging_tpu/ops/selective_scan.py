@@ -86,15 +86,17 @@ def selective_scan(u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=Tr
     return y.astype(u.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("delta_softplus", "chunk"))
-def selective_scan_chunked(u, delta, A, B, C, D=None, delta_bias=None,
-                           delta_softplus=True, chunk: int = 2048):
-    """Chunked selective scan: O(chunk) memory footprint along L.
+def _chunked_scan_carry(u, delta, A, B, C, delta_bias, delta_softplus,
+                        chunk: int, h_init=None):
+    """Core of the chunked scan: also returns the exact final state.
 
-    Splits L into chunks; inside a chunk uses the associative scan, between
-    chunks carries the (batch, dim, N) state through a sequential `lax.scan`.
-    Suitable for 16k-66k token full-sequence mixing where the monolithic
-    version would materialize tens of GB.
+    Returns (y, h_end): y is fp32 WITHOUT the D*u skip, (batch, dim, L);
+    h_end is the state after step L-1, (batch, dim, N). Padded tail steps are
+    masked to the identity element (a=1, b=0) — plain zero-padding of delta
+    is NOT identity, because delta_bias+softplus turn a zero delta into a
+    real decay step that would corrupt the carried state.
+    Supports an optional initial state `h_init` (used by the
+    sequence-parallel scan's cross-chip stitch).
     """
     bsz, dim, L = u.shape
     n = A.shape[1]
@@ -111,20 +113,42 @@ def selective_scan_chunked(u, delta, A, B, C, D=None, delta_bias=None,
 
     uc, dc = reshape_chunks(u), reshape_chunks(delta)
     Bc, Cc = reshape_chunks(B), reshape_chunks(C)
+    starts = jnp.arange(nc, dtype=jnp.int32) * chunk
 
     def step(h0, args):
-        u_i, d_i, B_i, C_i = args
+        u_i, d_i, B_i, C_i, start = args
         a, b = _discretize(u_i, d_i, A, B_i, delta_bias, delta_softplus)
+        if pad:
+            valid = (start + jnp.arange(chunk, dtype=jnp.int32)) < L
+            vm = valid[None, None, :, None]
+            a = jnp.where(vm, a, 1.0)
+            b = jnp.where(vm, b, 0.0)
         cum_a, h_local = jax.lax.associative_scan(_combine, (a, b), axis=2)
         h = h_local + cum_a * h0[:, :, None, :]
         y = jnp.einsum("bdln,bnl->bdl", h, C_i.astype(jnp.float32))
         return h[:, :, -1, :], y
 
-    h0 = jnp.zeros((bsz, dim, n), jnp.float32)
-    _, ys = jax.lax.scan(step, h0, (uc, dc, Bc, Cc))
+    h0 = (jnp.zeros((bsz, dim, n), jnp.float32) if h_init is None
+          else h_init.astype(jnp.float32))
+    h_end, ys = jax.lax.scan(step, h0, (uc, dc, Bc, Cc, starts))
     y = ys.transpose(1, 2, 0, 3).reshape(bsz, dim, L + pad)[:, :, :L]
+    return y, h_end
+
+
+@functools.partial(jax.jit, static_argnames=("delta_softplus", "chunk"))
+def selective_scan_chunked(u, delta, A, B, C, D=None, delta_bias=None,
+                           delta_softplus=True, chunk: int = 2048):
+    """Chunked selective scan: O(chunk) memory footprint along L.
+
+    Splits L into chunks; inside a chunk uses the associative scan, between
+    chunks carries the (batch, dim, N) state through a sequential `lax.scan`.
+    Suitable for 16k-66k token full-sequence mixing where the monolithic
+    version would materialize tens of GB.
+    """
+    y, _ = _chunked_scan_carry(u, delta, A, B, C, delta_bias, delta_softplus,
+                               chunk)
     if D is not None:
-        y = y + u[:, :, :L].astype(jnp.float32) * D.astype(jnp.float32)[None, :, None]
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, :, None]
     return y.astype(u.dtype)
 
 

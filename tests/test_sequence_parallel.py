@@ -189,3 +189,96 @@ def test_sequence_parallel_vit_attention_train_step():
                                        rtol=2e-4, atol=1e-5)
     finally:
         set_active_mesh(None)
+
+
+def test_sp_selective_scan_matches_single_device():
+    """sp_selective_scan_cm (token segments scanned per chip, carries
+    stitched via all_gather + prefix recurrence, closed-form fix-up) ==
+    the single-device channel-minor scan, fwd + grads."""
+    from long_context_biomedical_imaging_tpu.ops.selective_scan import (
+        selective_scan_cm)
+    from long_context_biomedical_imaging_tpu.ops.selective_scan_sp import (
+        sp_selective_scan_cm)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(0)
+    b, l, d, n = 2, 512, 24, 8
+    u = jnp.asarray(rs.randn(b, l, d).astype(np.float32))
+    dt = jnp.asarray(rs.randn(b, l, d).astype(np.float32) * 0.5)
+    A = -jnp.exp(jnp.asarray(rs.rand(d, n).astype(np.float32)))
+    B = jnp.asarray(rs.randn(b, l, n).astype(np.float32))
+    C = jnp.asarray(rs.randn(b, l, n).astype(np.float32))
+    D = jnp.asarray(rs.rand(d).astype(np.float32))
+    db = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+
+    ref = selective_scan_cm(u, dt, A, B, C, D, delta_bias=db)
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(selective_scan_cm(*a, delta_bias=db)))
+
+    gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(u, dt, A, B, C, D)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        got = jax.jit(lambda *a: sp_selective_scan_cm(*a, delta_bias=db,
+                                                      chunk=128))(
+            u, dt, A, B, C, D)
+        gsp = jax.jit(jax.grad(
+            lambda *a: jnp.sum(jnp.sin(sp_selective_scan_cm(
+                *a, delta_bias=db, chunk=128))),
+            argnums=(0, 1, 2, 3, 4, 5)))(u, dt, A, B, C, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    for name, a, b_ in zip("u dt A B C D".split(), gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"grad {name}")
+
+
+@pytest.mark.slow
+def test_sequence_parallel_vit_mamba_train_step():
+    """Full ViT-mamba train step under SP: 4096 tokens shard 4-way and the
+    scan dispatches to the cross-chip carry-stitch path (L > 1024 gate);
+    loss/update parity vs the unsharded step."""
+    cfg = parse_config(argv=[
+        "--encoder_name=ViT", "--decoder_name=ViTLinear", "--task_type=class",
+        "--height=128", "--width=128", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2",
+        "--batch_size=2", "--scheduler_type=OneCycleLR",
+        "--ViT.size=custom", "--ViT.patch_size", "2",
+        "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+        "--ViT.num_layers=2", "--ViT.num_heads=4",
+        "--ViT.use_mamba=True"])
+    check_args(cfg)
+    model = build_model(cfg)
+    optim = OptimManager(cfg, num_train_samples=64)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 1, 128, 128, 1).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 2, size=(2,)), jnp.int32)
+    set_active_mesh(None)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), x, deterministic=True)
+    state = create_train_state(model, variables, optim.transform)
+    step = make_train_step(model, get_loss_func("CrossEntropy"),
+                           optim.transform)
+
+    ref_state, ref_loss, _ = jax.jit(step)(state, x, labels, 1e-3,
+                                           jax.random.PRNGKey(1))
+    ref_loss = float(ref_loss)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    try:
+        sp_state = jax.device_put(state, NamedSharding(mesh, P()))
+        sp_x = jax.device_put(x, NamedSharding(mesh, P("data")))
+        sp_labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        new_state, loss, _ = jax.jit(step)(sp_state, sp_x, sp_labels, 1e-3,
+                                           jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+        rp = jax.tree_util.tree_leaves(ref_state.params)
+        sp = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+        for a, b in zip(rp, sp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=1e-5)
+    finally:
+        set_active_mesh(None)
