@@ -167,3 +167,24 @@ def test_e2e_enhance_and_inference_only(tmp_path):
     inf_dir = f"{tmp_path}/logs_inf/inf_run"
     assert os.path.exists(f"{inf_dir}/test_metrics.txt")
     assert os.path.exists(f"{inf_dir}/saved_samples/test")
+
+
+@pytest.mark.slow
+def test_e2e_sequence_parallel_cli(tmp_path):
+    """run.py --model_parallel=2: the full CLI train/eval/checkpoint loop on
+    a dp x sp mesh (ViT-hyena, 16 tokens shard 2-way). Covers the mesh
+    plumbing from the flag through run_setup/trainer to shard_tokens — the
+    op/step-level SP parity lives in test_sequence_parallel.py."""
+    make_dataset(f"{tmp_path}/data", "class", cout=2)
+    rc = main(base_args(tmp_path, "class", "sp_run",
+                        loss_func="CrossEntropy", decoder_name="ViTLinear",
+                        no_in_channel=1, no_out_channel=2,
+                        model_parallel=2)
+              + ["--encoder_name=ViT", "--ViT.size=custom",
+                 "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+                 "--ViT.num_layers=2", "--ViT.num_heads=2",
+                 "--ViT.patch_size", "4", "--ViT.use_hyena=True"])
+    assert rc == 0
+    run_dir = f"{tmp_path}/logs/sp_run"
+    assert os.path.exists(f"{run_dir}/models/model_best_checkpoint")
+    assert os.path.exists(f"{run_dir}/val_metrics.txt")
