@@ -37,6 +37,50 @@ from jax.sharding import PartitionSpec as P
 from .selective_scan import _chunked_scan_carry
 
 
+def _use_pallas_local(L_loc: int, n: int, d: int) -> bool:
+    """Local-scan dispatch inside the shard_map: the blocked Pallas long-scan
+    kernel where it's supported (it runs fine under shard_map — the manual
+    shards are plain per-device arrays), the chunked XLA scan elsewhere.
+    Split out so tests can monkeypatch the gate (interpret mode on CPU)."""
+    from .selective_scan_long import long_scan_supported
+    return long_scan_supported(L_loc, n, d) and jax.default_backend() != "cpu"
+
+
+def _h_end_closed_form(u_s, dtp, S, B_s, Af, lc: int = 2048):
+    """Exact final state of the zero-initialized local scan, no scan pass:
+
+      h_end[b,d,n] = sum_t exp(A[d,n]*(S_end[b,d]-S[b,t,d])) * dt'*u[b,t,d] * B[b,t,n]
+
+    (the decay from step t to the segment end is exp(A * (S_end - S_t)); the
+    per-step input is dt'*u*B). Fully parallel over t — pairs with the Pallas
+    local scan, which emits y but not its final state. Chunked over l like
+    _fixup; far tokens underflow to 0 (A < 0), which is the true decay.
+    """
+    b, l, d = dtp.shape
+    n = B_s.shape[-1]
+    S_end = S[:, -1]                                          # (b, d)
+    w = dtp * u_s.astype(jnp.float32)                         # (b, l, d)
+    pad = (-l) % lc
+    Bf = B_s.astype(jnp.float32)
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))            # 0 -> no contrib
+        S = jnp.pad(S, ((0, 0), (0, pad), (0, 0)))
+        Bf = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+    nc = (l + pad) // lc
+    wc = w.reshape(b, nc, lc, d).transpose(1, 0, 2, 3)
+    Sc = S.reshape(b, nc, lc, d).transpose(1, 0, 2, 3)
+    Bc = Bf.reshape(b, nc, lc, n).transpose(1, 0, 2, 3)
+
+    def chunk_fn(acc, args):
+        w_c, S_c, B_c = args
+        decay = jnp.exp((S_end[:, None] - S_c)[..., None] * Af[None, None])
+        return acc + jnp.einsum("bldn,bld,bln->bdn", decay, w_c, B_c), None
+
+    acc0 = jnp.zeros((b, d, n), jnp.float32)
+    h_end, _ = jax.lax.scan(chunk_fn, acc0, (wc, Sc, Bc))
+    return h_end
+
+
 def _fixup(C_s, S, Af, h_prev, lc: int = 2048):
     """Closed-form contribution of the incoming state h_prev to local y.
 
@@ -82,11 +126,6 @@ def sp_selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
     def local(u_s, d_s, B_s, C_s, A_r, D_r, db_r):
         Af = A_r.astype(jnp.float32)
         db = db_r.astype(jnp.float32) if has_db else None
-        # (b_loc, L/k, ...) per chip; the scan core wants (b, d, l)
-        y_loc, h_end = _chunked_scan_carry(
-            u_s.transpose(0, 2, 1), d_s.transpose(0, 2, 1), Af,
-            B_s.transpose(0, 2, 1), C_s.transpose(0, 2, 1),
-            db, delta_softplus, chunk)
 
         dtp = d_s.astype(jnp.float32)
         if db is not None:
@@ -94,6 +133,22 @@ def sp_selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
         if delta_softplus:
             dtp = jax.nn.softplus(dtp)
         S = jnp.cumsum(dtp, axis=1)                            # (b, l_loc, d)
+
+        l_loc, dim = u_s.shape[1], u_s.shape[2]
+        if _use_pallas_local(l_loc, B_s.shape[-1], dim):
+            from .selective_scan_long import selective_scan_long
+            y_loc = selective_scan_long(
+                u_s, d_s, A_r, B_s, C_s, D=None, delta_bias=db_r if has_db
+                else None, delta_softplus=delta_softplus
+            ).astype(jnp.float32).transpose(0, 2, 1)           # (b, d, l_loc)
+            h_end = _h_end_closed_form(u_s, dtp, S, B_s, Af, lc=chunk)
+        else:
+            # chunked XLA core wants (b, d, l); also returns the exact carry
+            y_loc, h_end = _chunked_scan_carry(
+                u_s.transpose(0, 2, 1), d_s.transpose(0, 2, 1), Af,
+                B_s.transpose(0, 2, 1), C_s.transpose(0, 2, 1),
+                db, delta_softplus, chunk)
+
         P_end = jnp.exp(S[:, -1][..., None] * Af[None])        # (b, d, N)
 
         Pg = jax.lax.all_gather(P_end, "model")                # (k, b, d, N)

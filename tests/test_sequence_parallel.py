@@ -282,3 +282,50 @@ def test_sequence_parallel_vit_mamba_train_step():
                                        rtol=2e-4, atol=1e-5)
     finally:
         set_active_mesh(None)
+
+
+@pytest.mark.slow
+def test_sp_selective_scan_pallas_local_path():
+    """SP scan with the Pallas long-scan kernel as the local per-chip scan
+    (gate monkeypatched on; interpret mode on CPU) + the closed-form final
+    state pairing it: parity vs the single-device scan, fwd + grads."""
+    from long_context_biomedical_imaging_tpu.ops import selective_scan_sp
+    from long_context_biomedical_imaging_tpu.ops.selective_scan import (
+        selective_scan_cm)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(1)
+    b, l, d, n = 2, 512, 16, 8
+    u = jnp.asarray(rs.randn(b, l, d).astype(np.float32))
+    dt = jnp.asarray(rs.randn(b, l, d).astype(np.float32) * 0.5)
+    A = -jnp.exp(jnp.asarray(rs.rand(d, n).astype(np.float32)))
+    B = jnp.asarray(rs.randn(b, l, n).astype(np.float32))
+    C = jnp.asarray(rs.randn(b, l, n).astype(np.float32))
+    D = jnp.asarray(rs.rand(d).astype(np.float32))
+    db = jnp.asarray(rs.randn(d).astype(np.float32) * 0.1)
+
+    ref = selective_scan_cm(u, dt, A, B, C, D, delta_bias=db)
+    gref = jax.grad(lambda *a: jnp.sum(jnp.sin(
+        selective_scan_cm(*a, delta_bias=db))), argnums=(0, 1, 2, 3, 4))(
+        u, dt, A, B, C, D)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    orig = selective_scan_sp._use_pallas_local
+    selective_scan_sp._use_pallas_local = lambda *a: True
+    try:
+        with use_active_mesh(mesh):
+            got = jax.jit(lambda *a: selective_scan_sp.sp_selective_scan_cm(
+                *a, delta_bias=db, chunk=128))(u, dt, A, B, C, D)
+            gsp = jax.jit(jax.grad(
+                lambda *a: jnp.sum(jnp.sin(
+                    selective_scan_sp.sp_selective_scan_cm(
+                        *a, delta_bias=db, chunk=128))),
+                argnums=(0, 1, 2, 3, 4)))(u, dt, A, B, C, D)
+    finally:
+        selective_scan_sp._use_pallas_local = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    for name, a, b_ in zip("u dt A B C".split(), gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"grad {name}")
