@@ -39,18 +39,20 @@ def attention_reference(q, k, v, bias=None, scale=None):
 def sp_flash_attention(q, k, v, scale=None):
     """Sequence-parallel flash attention over the mesh 'model' axis.
 
-    q, k, v: (B, H, L, D). The query token axis is sharded over 'model'
-    (padded to divide); k/v are replicated per chip (XLA inserts the
-    all-gather to satisfy the shard_map in_specs), and each chip runs the
-    Pallas flash kernel on its query shard against the full key/value
-    sequence — the kernel's kv_len masking already handles the un-padded
-    keys. A pallas_call cannot be SPMD-partitioned by GSPMD, so without the
-    shard_map wrapper the kernel would force a full all-gather of q AND
-    serialize on one chip's compute.
+    q, k, v: (B, H, L, D). Two regimes (a pallas_call cannot be
+    SPMD-partitioned by GSPMD, so both wrap the kernel in shard_map —
+    without it XLA would gather everything and serialize on one chip):
 
-    Memory per chip: O(L/k) queries + O(L) transient k/v — the O(L^2) score
-    matrix never exists (blockwise kernel), and the gradient path psums the
-    per-shard dk/dv partials (shard_map transpose of the replicated inputs).
+    * L divides the model axis -> **ring attention**
+      (ops/ring_attention.py): q AND k/v shard; k/v chunks rotate around
+      the ring via ppermute while each chip's flash kernel consumes them.
+      Per-chip memory is O(L/n) for every tensor — the beyond-HBM path.
+    * otherwise (e.g. the +1 cls-token attention-classification geometry):
+      the query shard is padded to divide, k/v replicate per chip (XLA
+      inserts the all-gather), and each chip runs flash over its query
+      shard against the full sequence; the gradient path psums the
+      per-shard dk/dv partials. O(L) transient k/v per chip, but the
+      O(L^2) score matrix still never exists.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -58,6 +60,25 @@ def sp_flash_attention(q, k, v, scale=None):
     mesh = active_mesh()
     ways = int(mesh.shape["model"])
     b, h, l, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    tok = P(None, None, "model", None)
+
+    if l % ways == 0:
+        from .ring_attention import ring_flash_attention
+
+        def local(qq, kk, vv):
+            lq = qq.shape[2]
+            out = ring_flash_attention(
+                qq.reshape(b * h, lq, d), kk.reshape(b * h, lq, d),
+                vv.reshape(b * h, lq, d), float(scale), ways, "model",
+                512, 2048)
+            return out.reshape(b, h, lq, d)
+
+        f = jax.shard_map(local, mesh=mesh, in_specs=(tok,) * 3,
+                          out_specs=tok, check_vma=False)
+        return f(q, k, v)
+
     pad = (-l) % ways
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -65,8 +86,8 @@ def sp_flash_attention(q, k, v, scale=None):
     f = jax.shard_map(
         lambda qq, kk, vv: flash_attention(qq, kk, vv, scale=scale),
         mesh=mesh,
-        in_specs=(P(None, None, "model", None), P(), P()),
-        out_specs=P(None, None, "model", None),
+        in_specs=(tok, P(), P()),
+        out_specs=tok,
         check_vma=False,  # custom_vjp inside; varying-axes checking rejects it
     )
     out = f(q, k, v)

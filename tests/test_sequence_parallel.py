@@ -329,3 +329,35 @@ def test_sp_selective_scan_pallas_local_path():
     for name, a, b_ in zip("u dt A B C".split(), gsp, gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-3, err_msg=f"grad {name}")
+
+
+def test_ring_flash_attention_matches_unsharded():
+    """Ring path of sp_flash_attention (q AND k/v sharded, chunks rotating
+    via ppermute, lse-merged) == single-device flash, fwd + grads."""
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.ops.flash_attention import (
+        flash_attention)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(2, 2, 256, 16).astype(np.float32))  # 256 % 4 == 0
+    k = jnp.asarray(rs.randn(2, 2, 256, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 2, 256, 16).astype(np.float32))
+
+    ref = flash_attention(q, k, v)
+    gref = jax.grad(lambda *a: jnp.sum(jnp.sin(flash_attention(*a))),
+                    argnums=(0, 1, 2))(q, k, v)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        got = jax.jit(sp_flash_attention)(q, k, v)
+        gsp = jax.jit(jax.grad(
+            lambda *a: jnp.sum(jnp.sin(sp_flash_attention(*a))),
+            argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for name, a, b_ in zip("q k v".split(), gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"grad {name}")
