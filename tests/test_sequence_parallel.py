@@ -361,3 +361,18 @@ def test_ring_flash_attention_matches_unsharded():
     for name, a, b_ in zip("q k v".split(), gsp, gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5, err_msg=f"grad {name}")
+
+
+def test_ring_flash_attention_hlo_has_collective_permute():
+    """The compiled ring-attention step must move k/v chunks by
+    collective-permute (the ring), NOT by all-gathering k/v to every chip."""
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    q = jnp.zeros((2, 2, 256, 16), jnp.float32)
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        hlo = jax.jit(sp_flash_attention).lower(q, q, q).compile().as_text()
+    assert "collective-permute" in hlo, "ring rotation did not materialize"
