@@ -36,9 +36,22 @@ WORKLOADS = {
                 task="class", decoder="SwinLinear", cin=1, cout=2, remat=True),
     "abct": dict(mixer="mamba", h=256, w=256, t=64, b=2, window=4, patch=2,
                  task="seg", decoder="UperNet3D", cin=1, cout=10, remat=True),
-    # CPU smoke config for validating the script itself (not a flagship)
+    # the BASELINE.json ViT full-sequence configs: convergence-validates the
+    # flash-attention, matmul-FFT long-conv, and blocked long-scan kernels
+    "vit16k": dict(encoder="ViT", mixer="attention", h=1024, w=1024, t=1, b=2,
+                   patch=8, task="class", decoder="ViTLinear", cin=1, cout=2),
+    "vit65k_hyena": dict(encoder="ViT", mixer="hyena", h=1024, w=1024, t=1,
+                         b=1, patch=4, task="class", decoder="ViTLinear",
+                         cin=1, cout=2),
+    "vit65k_mamba": dict(encoder="ViT", mixer="mamba", h=1024, w=1024, t=1,
+                         b=1, patch=4, task="class", decoder="ViTLinear",
+                         cin=1, cout=2),
+    # CPU smoke configs for validating the script itself (not flagships)
     "tiny": dict(mixer="hyena", h=32, w=32, t=1, b=2, window=4, patch=2,
                  task="class", decoder="SwinLinear", cin=1, cout=2),
+    "tiny_vit": dict(encoder="ViT", mixer="attention", h=32, w=32, t=1, b=2,
+                     patch=4, task="class", decoder="ViTLinear", cin=1,
+                     cout=2),
 }
 
 
@@ -57,18 +70,24 @@ def run_workload(name, cfg_dict, steps, lr, target_ratio):
 
     a = argparse.Namespace(**cfg_dict)
     remat = cfg_dict.get("remat", False)
+    encoder = cfg_dict.get("encoder", "Swin")
     argv = [
-        "--encoder_name=Swin", f"--decoder_name={a.decoder}",
+        f"--encoder_name={encoder}", f"--decoder_name={a.decoder}",
         f"--task_type={a.task}", f"--height={a.h}", f"--width={a.w}",
         f"--time={a.t}", f"--no_in_channel={a.cin}",
         f"--no_out_channel={a.cout}", f"--batch_size={a.b}",
-        "--scheduler_type=OneCycleLR", "--use_amp",
-        "--Swin.size=tiny", "--Swin.patch_size", str(a.patch),
-        "--Swin.window_size", str(a.window),
-        f"--Swin.use_hyena={a.mixer == 'hyena'}",
-        f"--Swin.use_mamba={a.mixer == 'mamba'}"]
-    if remat:
-        argv += ["--Swin.use_checkpoint=True"]
+        "--scheduler_type=OneCycleLR", "--use_amp"]
+    if encoder == "Swin":
+        argv += ["--Swin.size=tiny", "--Swin.patch_size", str(a.patch),
+                 "--Swin.window_size", str(a.window),
+                 f"--Swin.use_hyena={a.mixer == 'hyena'}",
+                 f"--Swin.use_mamba={a.mixer == 'mamba'}"]
+        if remat:
+            argv += ["--Swin.use_checkpoint=True"]
+    else:
+        argv += ["--ViT.size=small", "--ViT.patch_size", str(a.patch),
+                 f"--ViT.use_hyena={a.mixer == 'hyena'}",
+                 f"--ViT.use_mamba={a.mixer == 'mamba'}"]
     cfg = parse_config(argv=argv)
     check_args(cfg)
 
@@ -148,7 +167,7 @@ def main():
                     help="final/initial loss ratio to PASS")
     args = ap.parse_args()
 
-    names = ([n for n in WORKLOADS if n != "tiny"]
+    names = ([n for n in WORKLOADS if not n.startswith("tiny")]
              if args.workload == "all" else [args.workload])
     results = {}
     for name in names:
