@@ -59,21 +59,25 @@ def sp_flash_attention(q, k, v, scale=None):
     from ..parallel.mesh import active_mesh
     mesh = active_mesh()
     ways = int(mesh.shape["model"])
+    dp = int(mesh.shape["data"])
     b, h, l, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    tok = P(None, None, "model", None)
+    # batch stays sharded over 'data' (the trainer guarantees divisibility);
+    # an unmentioned batch axis would all-gather the batch onto every chip
+    bspec = "data" if b % dp == 0 else None
+    tok = P(bspec, None, "model", None)
 
     if l % ways == 0:
         from .ring_attention import ring_flash_attention
 
         def local(qq, kk, vv):
-            lq = qq.shape[2]
+            bl, lq = qq.shape[0], qq.shape[2]
             out = ring_flash_attention(
-                qq.reshape(b * h, lq, d), kk.reshape(b * h, lq, d),
-                vv.reshape(b * h, lq, d), float(scale), ways, "model",
+                qq.reshape(bl * h, lq, d), kk.reshape(bl * h, lq, d),
+                vv.reshape(bl * h, lq, d), float(scale), ways, "model",
                 512, 2048)
-            return out.reshape(b, h, lq, d)
+            return out.reshape(bl, h, lq, d)
 
         f = jax.shard_map(local, mesh=mesh, in_specs=(tok,) * 3,
                           out_specs=tok, check_vma=False)
@@ -86,7 +90,7 @@ def sp_flash_attention(q, k, v, scale=None):
     f = jax.shard_map(
         lambda qq, kk, vv: flash_attention(qq, kk, vv, scale=scale),
         mesh=mesh,
-        in_specs=(tok, P(), P()),
+        in_specs=(tok, P(bspec), P(bspec)),
         out_specs=tok,
         check_vma=False,  # custom_vjp inside; varying-axes checking rejects it
     )
