@@ -121,6 +121,10 @@ def sp_selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
 
     mesh = active_mesh()
     k = int(mesh.shape["model"])
+    dp = int(mesh.shape["data"])
+    # batch stays sharded over 'data' when it divides (the trainer guarantees
+    # this for training); replicate otherwise rather than error
+    bspec = "data" if u.shape[0] % dp == 0 else None
     has_D, has_db = D is not None, delta_bias is not None
 
     def local(u_s, d_s, B_s, C_s, A_r, D_r, db_r):
@@ -165,7 +169,7 @@ def sp_selective_scan_cm(u, delta, A, B, C, D=None, delta_bias=None,
             y = y + u_s.astype(jnp.float32) * D_r.astype(jnp.float32)[None, None]
         return y.astype(u.dtype)
 
-    tok = P("data", "model", None)
+    tok = P(bspec, "model", None)
     f = jax.shard_map(local, mesh=mesh,
                       in_specs=(tok, tok, tok, tok, P(), P(), P()),
                       out_specs=tok,
