@@ -26,18 +26,15 @@ import numpy as np
 from ..ops import depthwise_conv1d_cm, selective_scan_chunked
 from ..ops.mamba_window import mamba_window_mixer, mamba_window_supported
 from ..ops.selective_scan import selective_scan_cm
-from ..ops.selective_scan_long import long_scan_supported, selective_scan_long
-from ..ops.selective_scan_sp import sp_selective_scan_cm
+from ..ops.selective_scan_long import selective_scan_long, use_long_scan
+from ..ops.selective_scan_sp import sp_scan_applicable, sp_selective_scan_cm
 from ..ops.selective_scan_pallas import pallas_scan_supported, selective_scan_pallas
 from .hyena import depthwise_conv_init
 from .layers import torch_linear_kernel_init
 
 
-def _use_long_scan(L: int, n: int, d: int) -> bool:
-    """Full-sequence dispatch: blocked Pallas long scan on TPU, chunked XLA
-    associative scan on CPU (interpret-mode Pallas would crawl). Split out so
-    tests can monkeypatch the gate and exercise the long-path wiring."""
-    return long_scan_supported(L, n, d) and jax.default_backend() != "cpu"
+# module-level alias so tests can monkeypatch this module's gate alone
+_use_long_scan = use_long_scan
 
 
 def _dt_proj_kernel_init(dt_rank: int, dt_scale: float = 1.0):
@@ -155,9 +152,7 @@ class MambaVisionMixer(nn.Module):
 
         dt = dt @ dt_kernel + dt_bias                              # (b, l, d_half)
 
-        from ..parallel.mesh import model_axis_size
-        k_sp = model_axis_size()
-        if k_sp > 1 and L > 1024 and L % k_sp == 0:
+        if sp_scan_applicable(L):
             # sequence-parallel full-sequence regime: tokens sharded over the
             # mesh 'model' axis; each chip scans its segment and the carries
             # stitch across chips (ops/selective_scan_sp)

@@ -129,18 +129,25 @@ class ViTBackbone(nn.Module):
         # mesh). Hyena: every op is token-local except the depthwise long
         # conv, which re-shards to channel-parallel around it (models/hyena).
         # Attention: LN/qkv/MLP are token-local and the flash kernel runs
-        # per query shard under shard_map against gathered k/v
-        # (ops/attention.sp_flash_attention). Mamba: each chip scans its
-        # token segment and the (decay, state) carries stitch across chips
-        # (ops/selective_scan_sp.sp_selective_scan_cm).
+        # per query shard under shard_map — ring attention when tokens
+        # divide, gathered-k/v otherwise (ops/attention.sp_flash_attention).
+        # Mamba: tokens shard only when the SP scan path will actually
+        # engage (ops/selective_scan_sp.sp_scan_applicable — full-sequence
+        # regime, divisible tokens); otherwise the recurrence would run on
+        # sharded tokens OUTSIDE shard_map and GSPMD would silently gather
+        # them around the scan in every block.
+        from ..ops.selective_scan_sp import sp_scan_applicable
         from ..parallel.mesh import shard_tokens
-        tokens = shard_tokens(tokens)
+        sp = (not self.use_mamba) or sp_scan_applicable(tokens.shape[1])
+        if sp:
+            tokens = shard_tokens(tokens)
         for i in range(self.num_layers):
             tokens = TransformerBlock(
                 self.hidden_size, self.mlp_dim, self.num_heads, self.use_hyena,
                 self.use_mamba, self.dropout_rate, self.qkv_bias,
                 name=f"block_{i}")(tokens, deterministic)
-            tokens = shard_tokens(tokens)
+            if sp:
+                tokens = shard_tokens(tokens)
             hidden_states.append(tokens)
         tokens = nn.LayerNorm(name="norm")(tokens)
         hidden_states.append(tokens)

@@ -69,6 +69,7 @@ def sp_flash_attention(q, k, v, scale=None):
     tok = P(bspec, None, "model", None)
 
     if l % ways == 0:
+        from .flash_attention import BLOCK_K, BLOCK_Q
         from .ring_attention import ring_flash_attention
 
         def local(qq, kk, vv):
@@ -76,7 +77,7 @@ def sp_flash_attention(q, k, v, scale=None):
             out = ring_flash_attention(
                 qq.reshape(bl * h, lq, d), kk.reshape(bl * h, lq, d),
                 vv.reshape(bl * h, lq, d), float(scale), ways, "model",
-                512, 2048)
+                BLOCK_Q, BLOCK_K)
             return out.reshape(bl, h, lq, d)
 
         f = jax.shard_map(local, mesh=mesh, in_specs=(tok,) * 3,

@@ -37,6 +37,12 @@ NEG_INF = -1e30
 _LANES = 128
 _LOG2E = math.log2(math.e)
 
+# tile sizes tuned on v5e at 16k tokens, d=64; larger tiles crash the Mosaic
+# compiler on this toolchain. Shared by flash_attention's defaults and the
+# ring-attention per-chunk calls (ops/ring_attention.py).
+BLOCK_Q = 512
+BLOCK_K = 2048
+
 
 def _interpret() -> bool:
     # Pallas on the CPU backend only runs in interpreter mode (used by the
@@ -218,7 +224,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(scale, block_q, block_k, res, do):
+def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
     q, k, v, out, lse = res
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
@@ -229,8 +235,12 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     q_pad = n_q * block_q - q_len
     k_pad = n_k * block_k - kv_len
 
-    # delta_i = rowsum(do * o) — tiny elementwise reduce, XLA fuses it.
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if delta is None:
+        # delta_i = rowsum(do * o) — tiny elementwise reduce, XLA fuses it.
+        # Callers that invoke this repeatedly with the same (do, out) — the
+        # ring backward — precompute it once and pass it in.
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)
 
     def pad_q(x):
         return jnp.pad(x, ((0, 0), (0, q_pad), (0, 0))) if q_pad else x
@@ -313,7 +323,7 @@ _flash_attention_bhld.defvjp(_fwd_rule, _flash_bwd)
 
 
 def flash_attention(q, k, v, scale: float | None = None,
-                    block_q: int = 512, block_k: int = 2048):
+                    block_q: int = BLOCK_Q, block_k: int = BLOCK_K):
     """Multi-head attention via the Pallas flash kernel.
 
     Args:

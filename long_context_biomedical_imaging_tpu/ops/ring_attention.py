@@ -95,9 +95,11 @@ def _ring_bwd_rule(scale, ways, axis_name, block_q, block_k, res, do):
     kc, vc = k, v
     dkc = jnp.zeros(k.shape, jnp.float32)
     dvc = jnp.zeros(v.shape, jnp.float32)
+    # do/out are ring-invariant: pay the rowsum once, not once per step
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     for s in range(ways):
         dq_s, dk_s, dv_s = _flash_bwd(scale, block_q, block_k,
-                                      (q, kc, vc, out, lse), do)
+                                      (q, kc, vc, out, lse), do, delta=delta)
         dq = dq + dq_s.astype(jnp.float32)
         dkc = dkc + dk_s.astype(jnp.float32)
         dvc = dvc + dv_s.astype(jnp.float32)

@@ -490,6 +490,15 @@ def long_scan_supported(L: int, n: int, d: int) -> bool:
     return L >= 2048 and n * d <= 8192
 
 
+def use_long_scan(L: int, n: int, d: int) -> bool:
+    """Runtime dispatch: the Pallas kernel on TPU, the chunked XLA scan on
+    CPU (interpret-mode Pallas would crawl). The single source of truth for
+    both the single-chip path (models/mamba.py) and the SP local scan
+    (ops/selective_scan_sp.py); each imports it under its own module name so
+    tests can monkeypatch one without the other."""
+    return long_scan_supported(L, n, d) and jax.default_backend() != "cpu"
+
+
 def selective_scan_long(u, delta, A, B, C, D=None, delta_bias=None,
                         delta_softplus=True):
     """Channel-minor long-sequence selective scan (blocked Pallas kernel).

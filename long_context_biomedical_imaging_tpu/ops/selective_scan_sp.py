@@ -37,13 +37,23 @@ from jax.sharding import PartitionSpec as P
 from .selective_scan import _chunked_scan_carry
 
 
-def _use_pallas_local(L_loc: int, n: int, d: int) -> bool:
-    """Local-scan dispatch inside the shard_map: the blocked Pallas long-scan
-    kernel where it's supported (it runs fine under shard_map — the manual
-    shards are plain per-device arrays), the chunked XLA scan elsewhere.
-    Split out so tests can monkeypatch the gate (interpret mode on CPU)."""
-    from .selective_scan_long import long_scan_supported
-    return long_scan_supported(L_loc, n, d) and jax.default_backend() != "cpu"
+from .selective_scan_long import use_long_scan as _use_pallas_local  # noqa: E402
+# (module-level alias of the shared dispatch gate — the Pallas long-scan
+# kernel runs fine inside shard_map, the manual shards are plain per-device
+# arrays; aliased under this module's name so tests can monkeypatch the SP
+# local dispatch without touching the single-chip path)
+
+
+def sp_scan_applicable(L: int) -> bool:
+    """Whether the sequence-parallel scan path engages for token count L:
+    full-sequence regime only, and the token axis must divide the mesh
+    'model' axis. Callers (models/vit.py token sharding, models/mamba.py
+    dispatch) share this so tokens are never sharded for a geometry whose
+    scan would then run un-shard_mapped (GSPMD would silently gather the
+    tokens around the recurrence on every chip)."""
+    from ..parallel.mesh import model_axis_size
+    k = model_axis_size()
+    return k > 1 and L > 1024 and L % k == 0
 
 
 def _h_end_closed_form(u_s, dtp, S, B_s, Af, lc: int = 2048):

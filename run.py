@@ -31,7 +31,15 @@ def main(argv=None):
 
     trainer = TrainManager(config, datasets, model, loss_func, optim_manager,
                            metric_manager)
-    trainer.run()
+    try:
+        trainer.run()
+    finally:
+        # a --model_parallel>1 run sets the process-global active mesh
+        # (parallel/mesh.py); in-process callers (tests, notebooks) must not
+        # inherit it — a leaked model axis would knock every later-traced
+        # model off the fused Pallas paths
+        from long_context_biomedical_imaging_tpu.parallel import set_active_mesh
+        set_active_mesh(None)
     return 0
 
 

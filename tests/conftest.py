@@ -42,6 +42,16 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """The active mesh is process-global (parallel/mesh.py); a test that sets
+    a >1 'model' axis and fails (or forgets to reset) must not reroute every
+    later test onto the sequence-parallel paths."""
+    yield
+    from long_context_biomedical_imaging_tpu.parallel import set_active_mesh
+    set_active_mesh(None)
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: >30s interpret-mode/e2e test; skip with -m 'not slow'")
