@@ -155,4 +155,14 @@ def check_args(config: Config) -> Config:
     if config.get("iters_to_accumulate", 1) < 1:
         raise ValueError("iters_to_accumulate must be >= 1")
 
+    if int(config.get("model_parallel", 1) or 1) > 1 \
+            and config.get("encoder_name") != "ViT":
+        # sequence parallelism shards the ViT token axis; Swin's windowed
+        # stages don't shard tokens, and a >1 'model' axis would only push
+        # every fused Pallas kernel onto its composed fallback (their
+        # model_axis_size()==1 gates) — all cost, no benefit
+        raise ValueError(
+            "--model_parallel > 1 (sequence parallelism) requires "
+            "encoder_name=ViT; Swin scales via the 'data' mesh axis")
+
     return config

@@ -60,3 +60,15 @@ def test_yaml_roundtrip(tmp_path):
     cfg2 = yaml_to_config(path)
     assert cfg2.Swin.depths == [2, 2, 6, 2]
     assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_model_parallel_requires_vit():
+    """--model_parallel shards the ViT token axis; with Swin it would only
+    disable the fused kernels (model_axis gates) with no sharding benefit."""
+    cfg = parse_config(argv=[
+        "--encoder_name=Swin", "--decoder_name=SwinLinear",
+        "--task_type=class", "--height=64", "--width=64", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2", "--batch_size=2",
+        "--scheduler_type=OneCycleLR", "--model_parallel=2"])
+    with pytest.raises(ValueError, match="model_parallel"):
+        check_args(cfg)
