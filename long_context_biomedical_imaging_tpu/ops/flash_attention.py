@@ -224,6 +224,84 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr, *,
+                      scale2: float, kv_len: int | None, block_k: int,
+                      block_q: int):
+    """One sweep for dq+dk+dv: grid (bh, n_k, n_q), q innermost.
+
+    The two-kernel FlashAttention-2 split pays for s = qk^T and dp = do v^T
+    twice (7 matmuls + 2 exp2 recomputes per tile pair); this kernel computes
+    the score tile once and contracts all three gradients from it (5 matmuls,
+    1 exp2). dq needs k-innermost accumulation, which conflicts with the
+    q-innermost grid, so the full dq plane for the current bh lives in a VMEM
+    fp32 scratch (rows indexed by iq) and each row block is flushed to the
+    output on its last k visit. Only dispatched when that plane fits VMEM —
+    see _fused_bwd_fits.
+    """
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    n_k = pl.num_programs(1)
+    n_q = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale2
+    k = k_ref[0]
+    s = jax.lax.dot_general(q.astype(k_ref.dtype), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if kv_len is not None:
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp2(s - lse_ref[0])                              # (bq, bk)
+
+    dv_scr[:] += jax.lax.dot_general(p.astype(do_ref.dtype), do_ref[0],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0])                              # (bq, bk)
+    dk_scr[:] += jax.lax.dot_general(ds.astype(q_ref.dtype), q_ref[0],
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    dq_c = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    rows = pl.dslice(iq * block_q, block_q)
+
+    @pl.when(ik == 0)
+    def _dq_store():
+        dq_scr[rows, :] = dq_c
+
+    @pl.when(ik > 0)
+    def _dq_accum():
+        dq_scr[rows, :] += dq_c
+
+    @pl.when(ik == n_k - 1)
+    def _dq_flush():
+        dq_ref[0, rows, :] = (dq_scr[rows, :] * (scale2 / _LOG2E)).astype(dq_ref.dtype)
+
+    @pl.when(iq == n_q - 1)
+    def _kv_flush():
+        dk_ref[0] = (dk_scr[:] * (scale2 / _LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# VMEM budget for the fused backward's full-length dq plane (fp32 scratch +
+# output block) plus the dk/dv scratch and double-buffered input blocks.
+_FUSED_BWD_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _fused_bwd_fits(q_pad_len, d, block_q, block_k, itemsize) -> bool:
+    plane = q_pad_len * d * (4 + itemsize)          # dq scratch + dq out block
+    kv_scr = 2 * block_k * d * 4
+    blocks = 2 * (2 * block_q * d + 2 * block_k * d) * itemsize
+    return plane + kv_scr + blocks <= _FUSED_BWD_VMEM_BUDGET
+
+
 def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
     q, k, v, out, lse = res
     bh, q_len, d = q.shape
@@ -258,6 +336,38 @@ def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
 
     kwargs = dict(scale2=scale * _LOG2E,
                   kv_len=kv_len if k_pad else None, block_k=block_k)
+
+    if _fused_bwd_fits(n_q * block_q, d, block_q, block_k, q.dtype.itemsize):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, block_q=block_q, **kwargs),
+            grid=(bh, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n_q * block_q, d), lambda b, ik, iq: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, n_k * block_k, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, n_k * block_k, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_q * block_q, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(qp, kp, vp, dop, lsep, deltap)
+        return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **kwargs),
         grid=(bh, n_q, n_k),

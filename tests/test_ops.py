@@ -1,6 +1,8 @@
 """Op-level golden tests: window round-trips, masks, scan vs naive recurrence,
 FFT conv vs direct convolution, flash attention vs reference (fwd + grad)."""
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +151,29 @@ def test_flash_attention_grads(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_bwd_fused_matches_two_sweep(rng, monkeypatch):
+    """The fused one-sweep backward must equal the two-kernel fallback."""
+    from long_context_biomedical_imaging_tpu.ops import flash_attention
+    fa = sys.modules[flash_attention.__module__]
+
+    b, h, l, d = 1, 2, 160, 16
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+
+    def loss(q, k, v):
+        o = fa.flash_attention(q, k, v, block_q=64, block_k=128)
+        return jnp.sum(jnp.sin(o))
+
+    assert fa._fused_bwd_fits(192, d, 64, 128, 4)
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(fa, "_FUSED_BWD_VMEM_BUDGET", 0)
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_channel_minor_variants_match(rng):
