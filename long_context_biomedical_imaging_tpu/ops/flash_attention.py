@@ -290,16 +290,33 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-# VMEM budget for the fused backward's full-length dq plane (fp32 scratch +
-# output block) plus the dk/dv scratch and double-buffered input blocks.
-_FUSED_BWD_VMEM_BUDGET = 12 * 1024 * 1024
+# Scoped-VMEM budget for one fused-backward call (v5e scoped limit is 16MB;
+# leave elbow room for Mosaic spills). All tiles lane-pad d to 128.
+_FUSED_BWD_VMEM_BUDGET = 14 * 1024 * 1024
+# The fused kernel holds ~3 live fp32 (block_q, block_k) tiles (s/p, dp, ds)
+# on the Mosaic stack — the dominant scoped-vmem term; a smaller k block than
+# the two-sweep default keeps it in budget.
+_FUSED_BWD_BLOCK_K = 1024
 
 
-def _fused_bwd_fits(q_pad_len, d, block_q, block_k, itemsize) -> bool:
-    plane = q_pad_len * d * (4 + itemsize)          # dq scratch + dq out block
-    kv_scr = 2 * block_k * d * 4
-    blocks = 2 * (2 * block_q * d + 2 * block_k * d) * itemsize
-    return plane + kv_scr + blocks <= _FUSED_BWD_VMEM_BUDGET
+def _fused_bwd_group_blocks(d, block_q, block_k, itemsize) -> int:
+    """Max q blocks whose dq plane fits one fused call; 0 = use two-sweep.
+
+    The dq plane (fp32 scratch + double-buffered output block) scales with
+    the q rows held per call; the score-tile temporaries and k/v buffers are
+    fixed per call. Longer sequences run several fused calls over q-row
+    groups — k/v block traffic is identical to one big call, only the fp32
+    dk/dv partials are re-written per group."""
+    dp = _round_up(d, _LANES)
+    fixed = (3 * block_q * block_k * 4             # live fp32 score tiles
+             + 2 * block_k * dp * 4                # dk/dv fp32 scratch
+             + 2 * 2 * block_k * dp * 4           # dk/dv fp32 out blocks (dbuf)
+             + 2 * 2 * block_k * dp * itemsize    # k/v in blocks (dbuf)
+             + 2 * 2 * block_q * dp * itemsize    # q/do in blocks (dbuf)
+             + 4 * block_q * _LANES * 4)          # lse/delta blocks
+    per_row = dp * (4 + 2 * itemsize)             # dq scratch + dbuf out block
+    rows = (_FUSED_BWD_VMEM_BUDGET - fixed) // per_row
+    return max(int(rows) // block_q, 0)
 
 
 def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
@@ -337,35 +354,53 @@ def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
     kwargs = dict(scale2=scale * _LOG2E,
                   kv_len=kv_len if k_pad else None, block_k=block_k)
 
-    if _fused_bwd_fits(n_q * block_q, d, block_q, block_k, q.dtype.itemsize):
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, block_q=block_q, **kwargs),
-            grid=(bh, n_k, n_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
-                pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-                pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
-                pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, n_q * block_q, d), lambda b, ik, iq: (b, 0, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
-                pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((bh, n_q * block_q, d), q.dtype),
-                jax.ShapeDtypeStruct((bh, n_k * block_k, d), k.dtype),
-                jax.ShapeDtypeStruct((bh, n_k * block_k, d), v.dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((n_q * block_q, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
-            ],
-            interpret=_interpret(),
-        )(qp, kp, vp, dop, lsep, deltap)
+    bkf = min(block_k, _FUSED_BWD_BLOCK_K)          # block_k | bkf (both 2^n)
+    gb = _fused_bwd_group_blocks(d, block_q, bkf, q.dtype.itemsize)
+    if gb > 0:
+        n_kf = (n_k * block_k) // bkf
+        kwargs_f = dict(scale2=scale * _LOG2E, block_k=bkf,
+                        kv_len=kv_len if n_kf * bkf != kv_len else None)
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for g in range(_cdiv(n_q, gb)):
+            q0 = g * gb * block_q
+            rows = min(gb, n_q - g * gb) * block_q
+            nqg = rows // block_q
+            dqg, dkg, dvg = pl.pallas_call(
+                functools.partial(_bwd_fused_kernel, block_q=block_q, **kwargs_f),
+                grid=(bh, n_kf, nqg),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+                    pl.BlockSpec((1, bkf, d), lambda b, ik, iq: (b, ik, 0)),
+                    pl.BlockSpec((1, bkf, d), lambda b, ik, iq: (b, ik, 0)),
+                    pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+                    pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+                    pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, rows, d), lambda b, ik, iq: (b, 0, 0)),
+                    pl.BlockSpec((1, bkf, d), lambda b, ik, iq: (b, ik, 0)),
+                    pl.BlockSpec((1, bkf, d), lambda b, ik, iq: (b, ik, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((bh, rows, d), q.dtype),
+                    jax.ShapeDtypeStruct((bh, n_kf * bkf, d), jnp.float32),
+                    jax.ShapeDtypeStruct((bh, n_kf * bkf, d), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((rows, d), jnp.float32),
+                    pltpu.VMEM((bkf, d), jnp.float32),
+                    pltpu.VMEM((bkf, d), jnp.float32),
+                ],
+                interpret=_interpret(),
+            )(qp[:, q0:q0 + rows], kp, vp, dop[:, q0:q0 + rows],
+              lsep[:, q0:q0 + rows], deltap[:, q0:q0 + rows])
+            dq_parts.append(dqg)
+            dk_parts.append(dkg)
+            dv_parts.append(dvg)
+        dq = (dq_parts[0] if len(dq_parts) == 1
+              else jnp.concatenate(dq_parts, axis=1))
+        dk = sum(dk_parts).astype(k.dtype)
+        dv = sum(dv_parts).astype(v.dtype)
         return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
 
     dq = pl.pallas_call(

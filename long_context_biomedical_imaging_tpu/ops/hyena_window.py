@@ -139,16 +139,26 @@ def _build_chunk_toeplitz(kl, chunk: int):
 
 def _transpose_chunks_in(x, scr, bb: int, chunk: int, n: int, C: int):
     """(bb, V, C) -> channel-major (C, n*bb, chunk) scratch, rows chunk-major
-    (row = q*bb + b) so chunk-distance slices are contiguous."""
+    (row = q*bb + b) so chunk-distance slices are contiguous.
+
+    Mosaic cannot reshape across the lane dim ((C, bb*chunk) -> (C, bb, chunk)
+    is an "unsupported shape cast"), so the move is a 2D vector transpose
+    followed by per-row lane slices (both probe-verified on v5e —
+    scripts/probe_mosaic_layouts.py)."""
     for q in range(n):
-        blk = x[:, q * chunk:(q + 1) * chunk, :].reshape(bb * chunk, C)
-        scr[:, q * bb:(q + 1) * bb, :] = blk.T.reshape(C, bb, chunk)
+        t = x[:, q * chunk:(q + 1) * chunk, :].reshape(bb * chunk, C).T
+        for b in range(bb):
+            scr[:, q * bb + b, :] = t[:, b * chunk:(b + 1) * chunk]
 
 
 def _transpose_chunk_out(scr, q: int, bb: int, chunk: int, C: int):
-    """One chunk of a (C, n*bb, chunk) scratch back to (bb, chunk, C)."""
-    blk = scr[:, q * bb:(q + 1) * bb, :].reshape(C, bb * chunk)
-    return blk.T.reshape(bb, chunk, C)
+    """One chunk of a (C, n*bb, chunk) scratch back to (bb, chunk, C).
+
+    Lane-concat of the per-row slices rebuilds (C, bb*chunk) without the
+    unsupported sublane->lane reshape; the transpose back splits sublanes
+    only (supported)."""
+    t = jnp.concatenate([scr[:, q * bb + b, :] for b in range(bb)], axis=1)
+    return t.T.reshape(bb, chunk, C)
 
 
 def _chunk_long_conv(g, m_ref, gT_scr, vlT_scr, bb, C, chunk, n, dt):

@@ -167,12 +167,23 @@ def test_flash_bwd_fused_matches_two_sweep(rng, monkeypatch):
         o = fa.flash_attention(q, k, v, block_q=64, block_k=128)
         return jnp.sum(jnp.sin(o))
 
-    assert fa._fused_bwd_fits(192, d, 64, 128, 4)
+    assert fa._fused_bwd_group_blocks(d, 64, 128, 4) >= 3  # one group
     g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    # force gb == 1 -> three q-row groups with fp32 dk/dv partial sums
+    budget = 14 * 1024 * 1024
+    while fa._fused_bwd_group_blocks(d, 64, 128, 4) > 1:
+        budget -= 64 * 1024
+        monkeypatch.setattr(fa, "_FUSED_BWD_VMEM_BUDGET", budget)
+    assert fa._fused_bwd_group_blocks(d, 64, 128, 4) == 1
+    g_grouped = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
     monkeypatch.setattr(fa, "_FUSED_BWD_VMEM_BUDGET", 0)
     g_split = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-    for a, b_ in zip(g_fused, g_split):
+    for a, g2, b_ in zip(g_fused, g_grouped, g_split):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(b_),
                                    rtol=1e-5, atol=1e-5)
 
 
