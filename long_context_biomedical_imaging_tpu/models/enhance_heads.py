@@ -16,6 +16,17 @@ from .unetr_blocks import (UnetOutBlock, UnetrBasicBlock, UnetrPrUpBlock,
                            UnetrUpBlock)
 
 
+def _unetr_blocks(use_checkpoint: bool):
+    """UNETR block classes, optionally remat-wrapped: the full-resolution conv
+    activations dominate the gradient residual set (57GB HBM measured for
+    ViT+ViTUNETR at 1024^2 b4 — 3.6x one v5e chip); rematerializing inside
+    each block keeps only block-boundary tensors live."""
+    if use_checkpoint:
+        return (nn.remat(UnetrBasicBlock), nn.remat(UnetrUpBlock),
+                nn.remat(UnetrPrUpBlock))
+    return UnetrBasicBlock, UnetrUpBlock, UnetrPrUpBlock
+
+
 class SwinUNETR(nn.Module):
     """(ref: enhance_heads.py:30-184)."""
 
@@ -23,6 +34,7 @@ class SwinUNETR(nn.Module):
     feature_channels: Sequence[int]   # [e, 2e, 4e, 8e, 16e]
     patch_size: Sequence[int]         # (ph, pw) or (pt, ph, pw)
     spatial_dims: int = 2
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, deterministic: bool = True):
@@ -32,19 +44,20 @@ class SwinUNETR(nn.Module):
         if self.spatial_dims == 2:
             hidden_states = [h[:, 0] for h in hidden_states]
         x_in, feats = hidden_states[0], hidden_states[1:]
+        BasicBlock, UpBlock, _ = _unetr_blocks(self.use_checkpoint)
 
-        enc0 = UnetrBasicBlock(fc[0], name="encoder1")(x_in)
-        enc1 = UnetrBasicBlock(fc[0], name="encoder2")(feats[0])
-        enc2 = UnetrBasicBlock(fc[1], name="encoder3")(feats[1])
-        enc3 = UnetrBasicBlock(fc[2], name="encoder4")(feats[2])
-        dec4 = UnetrBasicBlock(fc[4], name="encoder10")(feats[4])
+        enc0 = BasicBlock(fc[0], name="encoder1")(x_in)
+        enc1 = BasicBlock(fc[0], name="encoder2")(feats[0])
+        enc2 = BasicBlock(fc[1], name="encoder3")(feats[1])
+        enc3 = BasicBlock(fc[2], name="encoder4")(feats[2])
+        dec4 = BasicBlock(fc[4], name="encoder10")(feats[4])
 
-        dec3 = UnetrUpBlock(fc[3], upsample_kernel_size=2, name="decoder5")(dec4, feats[3])
-        dec2 = UnetrUpBlock(fc[2], upsample_kernel_size=2, name="decoder4")(dec3, enc3)
-        dec1 = UnetrUpBlock(fc[1], upsample_kernel_size=2, name="decoder3")(dec2, enc2)
-        dec0 = UnetrUpBlock(fc[0], upsample_kernel_size=2, name="decoder2")(dec1, enc1)
-        out = UnetrUpBlock(fc[0], upsample_kernel_size=tuple(self.patch_size),
-                           name="decoder1")(dec0, enc0)
+        dec3 = UpBlock(fc[3], upsample_kernel_size=2, name="decoder5")(dec4, feats[3])
+        dec2 = UpBlock(fc[2], upsample_kernel_size=2, name="decoder4")(dec3, enc3)
+        dec1 = UpBlock(fc[1], upsample_kernel_size=2, name="decoder3")(dec2, enc2)
+        dec0 = UpBlock(fc[0], upsample_kernel_size=2, name="decoder2")(dec1, enc1)
+        out = UpBlock(fc[0], upsample_kernel_size=tuple(self.patch_size),
+                      name="decoder1")(dec0, enc0)
         out = UnetOutBlock(self.out_channels, name="out")(out)
         if self.spatial_dims == 2:
             out = out[:, None]
@@ -71,6 +84,7 @@ class ViTUNETR(nn.Module):
     grid: Sequence[int]                # token grid (feat_size)
     spatial_dims: int = 2
     feature_size: int = 32
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, deterministic: bool = True):
@@ -79,6 +93,7 @@ class ViTUNETR(nn.Module):
             raise ValueError(f"ViT UNETR patch size {self.patch_size} not yet supported")
         n2, n3, n4, enc_us, d1, d2, d3, d4 = _VIT_UNETR_SCHEDULE[p]
         fs = self.feature_size
+        BasicBlock, UpBlock, PrUpBlock = _unetr_blocks(self.use_checkpoint)
 
         def proj(t):  # (B, L, C) -> (B, *grid, C)
             return t.reshape(t.shape[0], *self.grid, t.shape[-1])
@@ -87,18 +102,18 @@ class ViTUNETR(nn.Module):
         if self.spatial_dims == 2 and x_in.ndim == 5:
             x_in = x_in[:, 0]
 
-        enc1 = UnetrBasicBlock(fs, name="encoder1")(x_in)
-        enc2 = UnetrPrUpBlock(fs * 2, num_layer=n2, upsample_kernel_size=enc_us,
-                              name="encoder2")(proj(hidden_states[4]))
-        enc3 = UnetrPrUpBlock(fs * 4, num_layer=n3, upsample_kernel_size=enc_us,
-                              name="encoder3")(proj(hidden_states[7]))
-        enc4 = UnetrPrUpBlock(fs * 8, num_layer=n4, upsample_kernel_size=enc_us,
-                              name="encoder4")(proj(hidden_states[10]))
+        enc1 = BasicBlock(fs, name="encoder1")(x_in)
+        enc2 = PrUpBlock(fs * 2, num_layer=n2, upsample_kernel_size=enc_us,
+                         name="encoder2")(proj(hidden_states[4]))
+        enc3 = PrUpBlock(fs * 4, num_layer=n3, upsample_kernel_size=enc_us,
+                         name="encoder3")(proj(hidden_states[7]))
+        enc4 = PrUpBlock(fs * 8, num_layer=n4, upsample_kernel_size=enc_us,
+                         name="encoder4")(proj(hidden_states[10]))
         dec4 = proj(hidden_states[-1])
-        dec3 = UnetrUpBlock(fs * 8, upsample_kernel_size=d4, name="decoder5")(dec4, enc4)
-        dec2 = UnetrUpBlock(fs * 4, upsample_kernel_size=d3, name="decoder4")(dec3, enc3)
-        dec1 = UnetrUpBlock(fs * 2, upsample_kernel_size=d2, name="decoder3")(dec2, enc2)
-        out = UnetrUpBlock(fs, upsample_kernel_size=d1, name="decoder2")(dec1, enc1)
+        dec3 = UpBlock(fs * 8, upsample_kernel_size=d4, name="decoder5")(dec4, enc4)
+        dec2 = UpBlock(fs * 4, upsample_kernel_size=d3, name="decoder4")(dec3, enc3)
+        dec1 = UpBlock(fs * 2, upsample_kernel_size=d2, name="decoder3")(dec2, enc2)
+        out = UpBlock(fs, upsample_kernel_size=d1, name="decoder2")(dec1, enc1)
         out = UnetOutBlock(self.out_channels, name="out")(out)
         if self.spatial_dims == 2:
             out = out[:, None]

@@ -87,7 +87,9 @@ def build_model(config) -> EncoderDecoderModel:
         patch = patch[1:] if (config.time == 1 and len(patch) == 3) else patch
         decoder = SwinUNETR(out_channels=out_ch,
                             feature_channels=tuple(feature_channels),
-                            patch_size=tuple(patch), spatial_dims=spatial_dims)
+                            patch_size=tuple(patch), spatial_dims=spatial_dims,
+                            use_checkpoint=getattr(config, "decoder_checkpoint",
+                                                   False))
     elif config.decoder_name == "ViTUNETR":
         if config.encoder_name != "ViT":
             raise ValueError("ViTUNETR head requires the ViT encoder")
@@ -95,7 +97,9 @@ def build_model(config) -> EncoderDecoderModel:
         patch = patch[1:] if (config.time == 1 and len(patch) == 3) else patch
         decoder = ViTUNETR(out_channels=out_ch, hidden_size=config.ViT.hidden_size,
                            patch_size=tuple(patch), grid=_vit_token_grid(config),
-                           spatial_dims=spatial_dims)
+                           spatial_dims=spatial_dims,
+                           use_checkpoint=getattr(config, "decoder_checkpoint",
+                                                  False))
     else:
         raise ValueError(f"Unknown decoder {config.decoder_name}")
 

@@ -95,6 +95,12 @@ def build_general_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=-1)
     p.add_argument("--prefetch_factor", type=int, default=8)
     p.add_argument("--use_amp", action="store_true")
+    p.add_argument("--decoder_checkpoint", type=str_to_bool, default=False,
+                   help="Gradient checkpointing on UNETR decoder blocks: the "
+                        "full-resolution conv activations of SwinUNETR/ViTUNETR "
+                        "at 1024^2-class inputs exceed one chip's HBM as grad "
+                        "residuals (measured 57GB for ViT+ViTUNETR b4); remat "
+                        "keeps only block boundaries")
     p.add_argument("--with_timer", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval_frequency", type=int, default=1)

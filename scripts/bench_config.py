@@ -62,6 +62,8 @@ def main():
         argv += ["--ViT.size=small", "--ViT.patch_size", str(a.patch),
                  f"--ViT.use_hyena={a.mixer=='hyena'}",
                  f"--ViT.use_mamba={a.mixer=='mamba'}"]
+    if a.remat and a.decoder in ("SwinUNETR", "ViTUNETR"):
+        argv += ["--decoder_checkpoint=True"]
     cfg = parse_config(argv=argv)
     check_args(cfg)
 
