@@ -3,7 +3,8 @@
 TPU-native reimplementation of the reference Hyena stack
 (ref: model/models/hyena.py:219-360 HyenaOperator, :117-199 Filter,
 :67-89 PositionalEmbedding, :92-113 ExponentialModulation, :54-64 Sin).
-The long convolution runs through `ops.fft_causal_conv` (XLA TPU FFT)
+The long convolution runs through `ops.fft_causal_conv` (fused Pallas
+spectral conv at 16k-66k full-sequence lengths, Toeplitz/direct below)
 instead of cuFFT; the short filter is a causal depthwise conv.
 
 Behavioral notes (ref quirks, SURVEY.md §2.4): the reference's

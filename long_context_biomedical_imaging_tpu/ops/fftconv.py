@@ -23,11 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .conv import depthwise_conv1d
+from .spectral_conv import spectral_causal_conv, spectral_supported
 
 # Below this length a direct depthwise conv beats batched tiny FFTs on TPU
 # (window-sized hyena sequences are 16-512 tokens; the FFT path is tuned for
 # 16k-66k full-sequence ViT mixing).
 _DIRECT_CONV_MAX_LEN = 512
+
+
+def _model_axis_unsharded() -> bool:
+    # pallas_call does not SPMD-partition: under token/channel sequence
+    # sharding the XLA matmul-FFT below stays the dispatch target.
+    from ..parallel.mesh import model_axis_size
+    return model_axis_size() == 1
 
 
 def fft_causal_conv(u, k, bias=None):
@@ -48,6 +56,15 @@ def fft_causal_conv(u, k, bias=None):
         if bias is not None:
             y32 = y32 + u.astype(jnp.float32) * bias.astype(jnp.float32)[..., None]
         return y32.astype(u.dtype)
+
+    if u.ndim == 3 and spectral_supported(L) and _model_axis_unsharded():
+        # fused Pallas spectral conv: whole pad/FFT/product/iFFT/trim chain
+        # in VMEM per (batch, channel) cell — 5.8x the XLA matmul-FFT
+        # fwd+bwd at (1, 384, 65536) on v5e (14.6 vs 83.9 ms), and none of
+        # its ~8GB/layer of HBM stage traffic
+        return spectral_causal_conv(u, k.astype(jnp.float32),
+                                    None if bias is None
+                                    else bias.astype(jnp.float32))
 
     u32 = u.astype(jnp.float32)
     y = _fft_conv_core(u32, k.astype(jnp.float32))
