@@ -55,6 +55,21 @@ WORKLOADS = {
 }
 
 
+def _linear_upsample(x, axis, new_size):
+    """Half-pixel linear interpolation of one axis (numpy, target synthesis)."""
+    import numpy as np
+    old = x.shape[axis]
+    pos = (np.arange(new_size) + 0.5) * old / new_size - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, old - 1)
+    hi = np.clip(lo + 1, 0, old - 1)
+    w = (pos - lo).astype(np.float32)
+    shape = [1] * x.ndim
+    shape[axis] = new_size
+    w = w.reshape(shape)
+    return (np.take(x, lo, axis=axis) * (1 - w)
+            + np.take(x, hi, axis=axis) * w)
+
+
 def run_workload(name, cfg_dict, steps, lr, target_ratio):
     import jax
     import jax.numpy as jnp
@@ -99,14 +114,21 @@ def run_workload(name, cfg_dict, steps, lr, target_ratio):
     # Targets must be LEARNABLE functions of the input: fully random per-pixel
     # labels at 1024^2 are unmemorizable in 150 steps (and white-noise maps
     # can't pass through UperNet's coarse decode grids at all), so a healthy
-    # model would FAIL for the wrong reason. The input is a blockwise-constant
-    # low-frequency random field; class keeps random labels (b<=16 samples —
-    # memorizable); seg learns quantized input intensity; enhance learns an
-    # affine map of the input.
+    # model would FAIL for the wrong reason. The input is a SMOOTH (trilinear)
+    # low-frequency random field — a blockwise-constant (kron) field has step
+    # edges the coarse-grid decoders can only render as ramps, which puts an
+    # irreducible ~0.06-0.08x floor under the enhance/seg losses (measured:
+    # cmr bottomed at 0.079x of initial after 400 steps with kron inputs,
+    # oscillating, while every smooth-representable config converged) — an
+    # expressivity limit, not a training-path bug, so it doesn't belong in
+    # this check. class keeps random labels (b<=16 samples — memorizable);
+    # seg learns quantized input intensity; enhance an affine map of input.
     bt, bh, bw = max(a.t // 4, 1), max(a.h // 16, 1), max(a.w // 16, 1)
     base = rs.rand(a.b, bt, bh, bw, a.cin).astype(np.float32)
-    xh = np.kron(base, np.ones((1, a.t // bt, a.h // bh, a.w // bw, 1),
-                               np.float32))
+    xh = base
+    for axis, (src, dst) in zip((1, 2, 3), ((bt, a.t), (bh, a.h), (bw, a.w))):
+        if src != dst:
+            xh = _linear_upsample(xh, axis, dst)
     x = jnp.asarray(xh)
     if a.task == "class":
         labels = jnp.asarray(rs.randint(0, a.cout, size=(a.b,)), jnp.int32)
