@@ -284,12 +284,13 @@ def _spec_bwd(res, g):
     u, k, bias = res
     # du = correlation of g with k (+ bias g): the conv kernel with conj(K)
     du = _conv_call(g, k, bias, conj_k=True).astype(u.dtype)
-    dk = _dk_call(g, u).astype(k.dtype)
+    dk = _dk_call(g, u)
     dbias = None
     if bias is not None:
-        dbias = jnp.einsum("bdl,bdl->d", g.astype(jnp.float32),
-                           u.astype(jnp.float32)).astype(bias.dtype)
-    return du, dk, dbias
+        # dbias[d] = sum_{b,t} g u = the tau=0 lag of the dk correlation —
+        # already computed; no separate (B, D, L) reduction pass
+        dbias = dk[:, 0].astype(bias.dtype)
+    return du, dk.astype(k.dtype), dbias
 
 
 spectral_causal_conv.defvjp(_spec_fwd, _spec_bwd)
