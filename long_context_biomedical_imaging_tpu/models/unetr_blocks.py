@@ -37,9 +37,13 @@ class InstanceNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        w = (scale * inv).astype(x.dtype)
-        b = (bias - mean * inv * scale).astype(x.dtype)
-        return x * w + b
+        # Scale+shift arithmetic stays fp32 (the shift carries -mean*inv*scale,
+        # which would catastrophically cancel against x*w in bf16 when
+        # |mean| >> std); XLA fuses the chain reading bf16 x and writing bf16
+        # output, so no fp32 full-res tensor materializes.
+        w = scale * inv
+        b = bias - mean * inv * scale
+        return (x32 * w + b).astype(x.dtype)
 
 
 class ConvNd(nn.Module):

@@ -236,8 +236,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     1 exp2). dq needs k-innermost accumulation, which conflicts with the
     q-innermost grid, so the full dq plane for the current bh lives in a VMEM
     fp32 scratch (rows indexed by iq) and each row block is flushed to the
-    output on its last k visit. Only dispatched when that plane fits VMEM —
-    see _fused_bwd_fits.
+    output on its last k visit. Dispatched per q-row group sized by
+    _fused_bwd_group_blocks so that plane fits scoped VMEM.
     """
     ik = pl.program_id(1)
     iq = pl.program_id(2)
@@ -305,8 +305,9 @@ def _fused_bwd_group_blocks(d, block_q, block_k, itemsize) -> int:
     The dq plane (fp32 scratch + double-buffered output block) scales with
     the q rows held per call; the score-tile temporaries and k/v buffers are
     fixed per call. Longer sequences run several fused calls over q-row
-    groups — k/v block traffic is identical to one big call, only the fp32
-    dk/dv partials are re-written per group."""
+    groups; each group re-reads k/v once and emits fp32 dk/dv partials that
+    are folded into a running sum (still cheaper than the two-sweep path's
+    second full score recompute)."""
     dp = _round_up(d, _LANES)
     fixed = (3 * block_q * block_k * 4             # live fp32 score tiles
              + 2 * block_k * dp * 4                # dk/dv fp32 scratch
@@ -354,7 +355,15 @@ def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
     kwargs = dict(scale2=scale * _LOG2E,
                   kv_len=kv_len if k_pad else None, block_k=block_k)
 
-    bkf = min(block_k, _FUSED_BWD_BLOCK_K)          # block_k | bkf (both 2^n)
+    # A smaller backward k block keeps the fused kernel's score-tile stack
+    # in scoped VMEM, but it must DIVIDE block_k: the padded kv extent is
+    # n_k*block_k, and a non-divisor bkf would floor n_kf and silently drop
+    # the tail key blocks from all three gradients (found by review: dk/dv
+    # came back short and dq wrong at kv_len=1536, where block_k=1536 is
+    # not a multiple of 1024).
+    bkf = min(block_k, _FUSED_BWD_BLOCK_K)
+    if block_k % bkf:
+        bkf = block_k
     gb = _fused_bwd_group_blocks(d, block_q, bkf, q.dtype.itemsize)
     if gb > 0:
         n_kf = (n_k * block_k) // bkf
@@ -395,12 +404,15 @@ def _flash_bwd(scale, block_q, block_k, res, do, delta=None):
             )(qp[:, q0:q0 + rows], kp, vp, dop[:, q0:q0 + rows],
               lsep[:, q0:q0 + rows], deltap[:, q0:q0 + rows])
             dq_parts.append(dqg)
-            dk_parts.append(dkg)
-            dv_parts.append(dvg)
+            # running sums (not sum(parts) at the end): each fp32 partial
+            # becomes dead as soon as it is folded in, instead of G of them
+            # staying live until a final reduce tree
+            dk_parts = [dk_parts[0] + dkg] if dk_parts else [dkg]
+            dv_parts = [dv_parts[0] + dvg] if dv_parts else [dvg]
         dq = (dq_parts[0] if len(dq_parts) == 1
               else jnp.concatenate(dq_parts, axis=1))
-        dk = sum(dk_parts).astype(k.dtype)
-        dv = sum(dv_parts).astype(v.dtype)
+        dk = dk_parts[0].astype(k.dtype)
+        dv = dv_parts[0].astype(v.dtype)
         return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
 
     dq = pl.pallas_call(

@@ -158,15 +158,25 @@ _CONST_KEYS = ("d1r_in", "d1i_in", "d1r_out", "d1i_out", "d2r", "d2i",
 def _conv_kernel(u_ref, k_ref, b_ref, *refs, n, sgn, skip):
     cs = {k: refs[i][...] for i, k in enumerate(_CONST_KEYS)}
     o_ref = refs[len(_CONST_KEYS)]
+    kr_ref, ki_ref = refs[len(_CONST_KEYS) + 1:]
+    # grid is (D, B) with batch innermost: the filter spectrum is
+    # batch-independent, so compute it once per channel and reuse it from
+    # VMEM scratch for the remaining batch cells
+    @pl.when(pl.program_id(1) == 0)
+    def _spec_k():
+        kr, ki = _rfft2(k_ref[0], cs)
+        kr_ref[...] = kr
+        ki_ref[...] = ki
+
     x = u_ref[0, 0]
     ur, ui = _rfft2(x, cs)
-    kr, ki = _rfft2(k_ref[0], cs)
+    kr, ki = kr_ref[...], ki_ref[...]
     pr = ur * kr - sgn * (ui * ki)
     pi = sgn * (ur * ki) + ui * kr
     y = _irfft2_trim(pr, pi, cs, 1.0 / n)
     if skip:
         # whole (D, 1) bias column is resident; pick this cell's channel
-        y = y + b_ref[pl.program_id(1), 0] * x.astype(jnp.float32)
+        y = y + b_ref[pl.program_id(0), 0] * x.astype(jnp.float32)
     o_ref[0, 0] = y.astype(o_ref.dtype)
 
 
@@ -214,21 +224,23 @@ def _conv_call(u, k, bias, conj_k: bool):
     cs = _kernel_consts(n)
     const_args = [cs[key] for key in _CONST_KEYS]
     cspecs = [pl.BlockSpec(cs[key].shape,
-                           functools.partial(lambda nd, b, d: (0,) * nd,
+                           functools.partial(lambda nd, d, b: (0,) * nd,
                                              cs[key].ndim))
               for key in _CONST_KEYS]
     out = pl.pallas_call(
         functools.partial(_conv_kernel, n=n, sgn=(-1.0 if conj_k else 1.0),
                           skip=bias is not None),
-        grid=(B, D),
+        grid=(D, B),                         # b innermost: k-spectrum reuse
         in_specs=[
-            pl.BlockSpec((1, 1, n1h, n2), lambda b, d: (b, d, 0, 0)),
-            pl.BlockSpec((1, n1h, n2), lambda b, d: (d, 0, 0)),
-            pl.BlockSpec((D, 1), lambda b, d: (0, 0)),
+            pl.BlockSpec((1, 1, n1h, n2), lambda d, b: (b, d, 0, 0)),
+            pl.BlockSpec((1, n1h, n2), lambda d, b: (d, 0, 0)),
+            pl.BlockSpec((D, 1), lambda d, b: (0, 0)),
             *cspecs,
         ],
-        out_specs=pl.BlockSpec((1, 1, n1h, n2), lambda b, d: (b, d, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, n1h, n2), lambda d, b: (b, d, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D, n1h, n2), u.dtype),
+        scratch_shapes=[pltpu.VMEM((n2, n1), jnp.float32),
+                        pltpu.VMEM((n2, n1), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(up, kp, bcol, *const_args)

@@ -60,9 +60,11 @@ def _linear_upsample(x, axis, new_size):
     import numpy as np
     old = x.shape[axis]
     pos = (np.arange(new_size) + 0.5) * old / new_size - 0.5
-    lo = np.clip(np.floor(pos).astype(np.int64), 0, old - 1)
-    hi = np.clip(lo + 1, 0, old - 1)
-    w = (pos - lo).astype(np.float32)
+    f = np.floor(pos)
+    w = (pos - f).astype(np.float32)       # weight BEFORE clipping: clamped
+    lo = np.clip(f.astype(np.int64), 0, old - 1)       # edges then read the
+    hi = np.clip(f.astype(np.int64) + 1, 0, old - 1)   # same sample (no
+    # extrapolation overshoot at the low edge)
     shape = [1] * x.ndim
     shape[axis] = new_size
     w = w.reshape(shape)

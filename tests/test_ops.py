@@ -904,3 +904,65 @@ def test_spectral_conv_grads_match(rng):
         assert cos > 0.995, f"gradient direction off: cos={cos}"
         rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
         assert rel < 0.08, f"gradient rel l2 {rel}"
+
+
+def test_flash_bwd_grouped_non_divisible_kv(rng, monkeypatch):
+    """kv lengths whose padded block is not a multiple of the fused backward's
+    k block must not drop tail key blocks (review regression: block_k=1536
+    with bkf=1024 floored n_kf and silently truncated dk/dv/dq)."""
+    from long_context_biomedical_imaging_tpu.ops import flash_attention
+    fa = sys.modules[flash_attention.__module__]
+
+    d = 64
+    q = jnp.asarray(rng.normal(size=(1, 2, 1536, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 1536, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 1536, d)).astype(np.float32))
+    monkeypatch.setattr(fa, "_FUSED_BWD_BLOCK_K", 1024)
+
+    def loss(q, k, v):
+        o = fa.flash_attention(q, k, v, block_q=512, block_k=1536)
+        return jnp.sum(jnp.sin(o))
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(fa, "_FUSED_BWD_VMEM_BUDGET", 0)   # two-sweep ref
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fft_causal_conv_dispatches_spectral(rng, monkeypatch):
+    """The fft_causal_conv dispatch gate routes 3D power-of-two lengths to the
+    spectral kernel (bf16 input, the AMP production path), and the result
+    matches the fp32 XLA FFT within the kernel's bf16 regime."""
+    from long_context_biomedical_imaging_tpu.ops import fftconv, spectral_conv
+
+    monkeypatch.setattr(spectral_conv, "SPECTRAL_MIN_LEN", 1024)
+    calls = []
+    orig = spectral_conv.spectral_causal_conv
+
+    def spy(u, k, bias):
+        calls.append(u.shape)
+        return orig(u, k, bias)
+
+    monkeypatch.setattr(fftconv, "spectral_causal_conv", spy)
+    B, D, L = 2, 4, 1024
+    u = jnp.asarray(rng.normal(size=(B, D, L)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    k = jnp.asarray((rng.normal(size=(D, L))
+                     * np.exp(-np.arange(L) / 200.0)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    y = fftconv.fft_causal_conv(u, k, bias)
+    assert calls == [(B, D, L)], "spectral kernel was not dispatched"
+    assert y.dtype == jnp.bfloat16
+    ref = fftconv._fft_conv_core(u.astype(jnp.float32), k) \
+        + u.astype(jnp.float32) * bias[:, None]
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               atol=0.03 * scale, rtol=0.1)
+    # below the floor the old paths stay in charge
+    calls.clear()
+    u_small = u[..., :512]
+    fftconv.fft_causal_conv(u_small, k[:, :512], bias)
+    assert not calls
