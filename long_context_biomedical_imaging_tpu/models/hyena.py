@@ -116,9 +116,12 @@ class HyenaOperator(nn.Module):
         ln_params: optional (scale, bias) of the caller's pre-LN. When given,
         returns u + mixer(LN(u)) with LN and residual folded into the fused
         kernel (2 fewer HBM passes over the stage tensor each way)."""
-        b, l, d = u.shape
+        b, l, cp = u.shape
+        d = self.d_model
         assert l <= self.l_max, f"Input length {l} exceeds maximum length {self.l_max}"
-        assert d == self.d_model
+        # cp > d: lane-padded stage stream (models/swin.py pads 96->128 /
+        # 192->256 for contiguous Pallas DMAs; pad lanes are exact zeros)
+        assert cp == d or cp > d, (cp, d)
         head_dim = self.d_model // self.num_heads
         width = 3 * self.d_model
 
@@ -192,6 +195,16 @@ class HyenaOperator(nn.Module):
                  + b_out.astype(y.dtype)).reshape(b, l, d)
             return v                                      # out_proj
 
+        if cp != d:
+            # pad-aware composed fallback: mix the real channels, zero-pad
+            # the output back so pad lanes stay exact zeros
+            u_real = u[..., :d]
+            if ln_params is None:
+                return jnp.pad(composed(u_real),
+                               ((0, 0), (0, 0), (0, cp - d)))
+            from ..ops.fused_mlp import fast_layernorm
+            y = composed(fast_layernorm(u_real, ln_params[0], ln_params[1]))
+            return u + jnp.pad(y, ((0, 0), (0, 0), (0, cp - d)))
         if ln_params is None:
             return composed(u)
         # composed fallback keeps the x + mixer(LN(x)) contract; LN formula

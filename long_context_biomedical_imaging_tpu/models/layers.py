@@ -175,13 +175,17 @@ class LNMLPResidual(nn.Module):
 
         from ..ops.fused_mlp import fast_layernorm
         lead = x.shape[:-1]
-        y = fast_layernorm(x.reshape(-1, self.hidden_size), ln_scale, ln_bias)
+        cp = x.shape[-1]           # may be lane-padded past hidden_size
+        x2 = x.reshape(-1, cp)
+        y = fast_layernorm(x2[:, :self.hidden_size], ln_scale, ln_bias)
         h = y @ w1.astype(x.dtype) + b1.astype(x.dtype)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         out = h @ w2.astype(x.dtype) + b2.astype(x.dtype)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
-        return x + out.reshape(*lead, self.hidden_size)
+        if cp != self.hidden_size:
+            out = jnp.pad(out, ((0, 0), (0, cp - self.hidden_size)))
+        return x + out.reshape(*lead, cp)
 
 
 def extract_patches(x, patch_size):

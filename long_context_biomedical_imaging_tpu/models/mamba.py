@@ -119,12 +119,20 @@ class MambaVisionMixer(nn.Module):
                                       d_state=self.d_state)
 
         # composed fallback keeps the x + mixer(LN(x)) contract: normalize
-        # here, mix the normalized stream, re-add the residual at the end
+        # here, mix the normalized stream, re-add the residual at the end.
+        # Lane-padded inputs (models/swin.py, cp > d_model with exact-zero
+        # pad lanes) mix their real channels and zero-pad the output back.
         residual = None
+        lane_pad = hidden_states.shape[-1] - self.d_model
+        if lane_pad:
+            if ln_params is not None:
+                residual = hidden_states     # padded residual: pads stay 0
+            hidden_states = hidden_states[..., :self.d_model]
         if ln_params is not None:
             # LN formula shared with the fused kernels (ops/fused_mlp)
             from ..ops.fused_mlp import fast_layernorm
-            residual = hidden_states
+            if residual is None:
+                residual = hidden_states
             hidden_states = fast_layernorm(hidden_states, ln_params[0],
                                            ln_params[1])
 
@@ -188,4 +196,6 @@ class MambaVisionMixer(nn.Module):
         y = jnp.concatenate([y, z], axis=-1)                       # (b, l, d_inner)
         out = (y.reshape(b * l, d_inner)                           # out_proj
                @ w_out.astype(y.dtype)).reshape(b, l, self.d_model)
+        if lane_pad:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, lane_pad)))
         return out if residual is None else residual + out

@@ -145,7 +145,7 @@ class SwinTransformerBlock(nn.Module):
             # every block in a stage shares the identical partition — the
             # partition/reverse layout copies that XLA materializes per block
             # were ~15% of the ptx step; see BasicLayer).
-            bw, v, c = x.shape
+            bw, v, c = x.shape   # c may be lane-padded past self.dim
             # BasicLayer only routes hyena/mamba stages through the windowed
             # layout (attention keeps the shift schedule, so its partition
             # changes per block).
@@ -153,8 +153,8 @@ class SwinTransformerBlock(nn.Module):
             # pre-LN + residual fold into the fused mixer kernel (or its
             # composed fallback): 2 fewer HBM passes over the stage tensor
             # each way. Params declared here to keep one tree either way.
-            s = self.param("norm1_scale", nn.initializers.ones, (c,))
-            bln = self.param("norm1_bias", nn.initializers.zeros, (c,))
+            s = self.param("norm1_scale", nn.initializers.ones, (self.dim,))
+            bln = self.param("norm1_bias", nn.initializers.zeros, (self.dim,))
             x = WindowAttention(
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size, qkv_bias=self.qkv_bias,
@@ -263,6 +263,17 @@ class BasicLayer(nn.Module):
             # materialized layout copies.
             xp, (dp, hp, wp) = pad_to_window_multiple(x, window_size)
             xw = window_partition(xp, window_size)
+            # Lane-pad the stage stream to a 128 multiple (96->128, 192->256):
+            # Pallas block DMAs at non-128-multiple lane widths run at
+            # ~180 GB/s vs 500-650 for 128-multiples on v5e
+            # (scripts/probe_copy_bw.py) — and the fused mixer/MLP kernels'
+            # x/out/dx/do streams dominate the stage's HBM traffic. Paid once
+            # per stage; the kernels zero-pad their projections so pad lanes
+            # stay exact zeros end to end (identical math, ops/fused_mlp LN
+            # divides by the real C).
+            c_pad = (-c) % 128
+            if c_pad:
+                xw = jnp.pad(xw, ((0, 0), (0, 0), (0, c_pad)))
             for i in range(self.depth):
                 xw = block_cls(
                     dim=self.dim, num_heads=self.num_heads,
@@ -271,6 +282,8 @@ class BasicLayer(nn.Module):
                     use_hyena=self.use_hyena, use_mamba=self.use_mamba,
                     dropout_rate=self.dropout_rate, windowed=True,
                     name=f"block_{i}")(xw, None, deterministic)
+            if c_pad:
+                xw = xw[..., :c]
             x = window_reverse(xw, window_size, (b, dp, hp, wp))
             if (dp, hp, wp) != (d, h, w):
                 x = x[:, :d, :h, :w, :]

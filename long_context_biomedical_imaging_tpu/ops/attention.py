@@ -47,12 +47,17 @@ def sp_flash_attention(q, k, v, scale=None):
       (ops/ring_attention.py): q AND k/v shard; k/v chunks rotate around
       the ring via ppermute while each chip's flash kernel consumes them.
       Per-chip memory is O(L/n) for every tensor — the beyond-HBM path.
-    * otherwise (e.g. the +1 cls-token attention-classification geometry):
-      the query shard is padded to divide, k/v replicate per chip (XLA
-      inserts the all-gather), and each chip runs flash over its query
+    * L = ways*c + r with c >= 1 (the +1 cls-token attention-classification
+      geometry, ref backbone_vit.py:369-370,384-386) -> **ring + tail**:
+      the first ways*c kv tokens ring exactly as above; the r < ways
+      remainder tokens replicate as a tiny tail chunk merged by the same
+      blockwise-lse algebra (ops/ring_attention.ring_flash_attention_tail).
+      q pads to ways*(c+1) rows (junk pad rows are sliced off). Per-chip
+      memory stays O(L/n) — no O(L) gathered k/v.
+    * L < ways: the query shard is padded to divide, k/v replicate per chip
+      (XLA inserts the all-gather), and each chip runs flash over its query
       shard against the full sequence; the gradient path psums the
-      per-shard dk/dv partials. O(L) transient k/v per chip, but the
-      O(L^2) score matrix still never exists.
+      per-shard dk/dv partials.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -83,6 +88,30 @@ def sp_flash_attention(q, k, v, scale=None):
         f = jax.shard_map(local, mesh=mesh, in_specs=(tok,) * 3,
                           out_specs=tok, check_vma=False)
         return f(q, k, v)
+
+    c, r = divmod(l, ways)
+    if c >= 1:
+        from .flash_attention import BLOCK_K, BLOCK_Q
+        from .ring_attention import ring_flash_attention_tail
+
+        lq_pad = ways * (c + 1)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - l), (0, 0)))
+        k_ring, k_tail = k[:, :, :ways * c], k[:, :, ways * c:]
+        v_ring, v_tail = v[:, :, :ways * c], v[:, :, ways * c:]
+
+        def local(qq, kk, vv, kt, vt):
+            bl, lq, lkv = qq.shape[0], qq.shape[2], kk.shape[2]
+            out = ring_flash_attention_tail(
+                qq.reshape(bl * h, lq, d), kk.reshape(bl * h, lkv, d),
+                vv.reshape(bl * h, lkv, d), kt.reshape(bl * h, r, d),
+                vt.reshape(bl * h, r, d), float(scale), ways, "model",
+                BLOCK_Q, BLOCK_K)
+            return out.reshape(bl, h, lq, d)
+
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=(tok, tok, tok, P(bspec), P(bspec)),
+                          out_specs=tok, check_vma=False)
+        return f(qp, k_ring, v_ring, k_tail, v_tail)[:, :, :l]
 
     pad = (-l) % ways
     if pad:

@@ -19,6 +19,7 @@ output blocks (TPU grids are sequential).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -138,12 +139,22 @@ def _make_fwd_kernel(dt):
 _LN_EPS = 1e-6  # flax nn.LayerNorm default (the composed path this replaces)
 
 
-def _ln_fwd(x32, g, b):
+def _ln_fwd(x32, g, b, n: int | None = None):
     """LayerNorm over the last axis in fp32 (fast-variance form, flax parity).
 
+    n: real channel count when the lane axis is zero-padded past it (the
+    lane-padded kernel pipeline: stage tensors pad 96->128 / 192->256 so the
+    Pallas block DMAs ride the contiguous path — measured 180 vs 500-650 GB/s
+    for 96/192-lane vs 128-multiple blocks on v5e). Pad lanes are exact zeros,
+    so sums are unaffected; only the divisor must be the real count. Pad
+    lanes of the OUTPUT are zeroed by the zero-padded g/b.
+
     Returns (y, xhat, rstd)."""
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    if n is None:
+        n = x32.shape[-1]
+    inv = 1.0 / n
+    mu = jnp.sum(x32, axis=-1, keepdims=True) * inv
+    var = jnp.sum(x32 * x32, axis=-1, keepdims=True) * inv - mu * mu
     rstd = jax.lax.rsqrt(var + _LN_EPS)
     xhat = (x32 - mu) * rstd
     return xhat * g + b, xhat, rstd
@@ -161,23 +172,33 @@ def fast_layernorm(x, scale, bias):
     return y.astype(x.dtype)
 
 
-def _ln_bwd(dy, xhat, rstd, g):
+def _ln_bwd(dy, xhat, rstd, g, n: int | None = None):
     """dx of LayerNorm given upstream dy; also returns (dgamma, dbeta) summed
-    over all leading axes."""
+    over all leading axes.
+
+    n: real channel count under lane padding (see _ln_fwd). dy pad lanes are
+    exact zeros at every call site (they come through zero weight columns),
+    so the sums are exact; dx pad lanes pick up the -m1 - xhat*m2 terms — a
+    harmless nonzero that every downstream consumer kills via zero weight
+    rows, and that the stage-entry pad's transpose finally slices off."""
+    if n is None:
+        n = dy.shape[-1]
+    inv = 1.0 / n
     red = tuple(range(dy.ndim - 1))
     dg = jnp.sum(dy * xhat, axis=red)[None, :]
     db = jnp.sum(dy, axis=red)[None, :]
     dxhat = dy * g
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) * inv
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) * inv
     dx = rstd * (dxhat - m1 - xhat * m2)
     return dx, dg, db
 
 
-def _make_ln_fwd_kernel(dt):
+def _make_ln_fwd_kernel(dt, c_real: int):
     def kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         x32 = x_ref[...].astype(jnp.float32)
-        y, _, _ = _ln_fwd(x32, g_ref[0][None, :], bln_ref[0][None, :])
+        y, _, _ = _ln_fwd(x32, g_ref[0][None, :], bln_ref[0][None, :],
+                          n=c_real)
         u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
         h = _gelu(u, dt)
         out = _dot(h, w2_ref[...], dt) + b2_ref[0][None, :] + x32
@@ -186,7 +207,7 @@ def _make_ln_fwd_kernel(dt):
     return kernel
 
 
-def _make_ln_bwd_kernel(dt):
+def _make_ln_bwd_kernel(dt, c_real: int):
     def kernel(x_ref, g_ref, bln_ref, w1_ref, b1_ref, w2_ref, do_ref,
                dx_ref, dg_ref, dbln_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
         i = pl.program_id(0)
@@ -202,7 +223,7 @@ def _make_ln_bwd_kernel(dt):
 
         x32 = x_ref[...].astype(jnp.float32)
         g = g_ref[0][None, :]
-        y, xhat, rstd = _ln_fwd(x32, g, bln_ref[0][None, :])
+        y, xhat, rstd = _ln_fwd(x32, g, bln_ref[0][None, :], n=c_real)
         u = _dot(y, w1_ref[...], dt) + b1_ref[0][None, :]
         h = _gelu(u, dt)
         do = do_ref[...].astype(jnp.float32)
@@ -213,7 +234,7 @@ def _make_ln_bwd_kernel(dt):
         dw1_ref[...] += _dot_tt(y, du, dt)
         db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
         dy = _dot_t(du, w1_ref[...], dt)
-        dx_ln, dg, dbln = _ln_bwd(dy, xhat, rstd, g)
+        dx_ln, dg, dbln = _ln_bwd(dy, xhat, rstd, g, n=c_real)
         dg_ref[...] += dg
         dbln_ref[...] += dbln
         dx_ref[...] = (dx_ln + do).astype(dx_ref.dtype)
@@ -327,7 +348,7 @@ def _fwd_rule(x, w1, b1, w2, b2):
 _mlp_core.defvjp(_fwd_rule, _bwd)
 
 
-def _ln_fwd_call(x, g, bln, w1, b1, w2, b2):
+def _ln_fwd_call(x, g, bln, w1, b1, w2, b2, c_real):
     N, C = x.shape
     H = w1.shape[1]
     dt = x.dtype
@@ -337,7 +358,7 @@ def _ln_fwd_call(x, g, bln, w1, b1, w2, b2):
 
     vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0))
     out = pl.pallas_call(
-        _make_ln_fwd_kernel(dt),
+        _make_ln_fwd_kernel(dt, c_real),
         grid=((N + pad) // bn,),
         in_specs=[
             pl.BlockSpec((bn, C), lambda i: (i, 0)),
@@ -353,7 +374,7 @@ def _ln_fwd_call(x, g, bln, w1, b1, w2, b2):
     return out[:N]
 
 
-def _ln_bwd_call(res, do):
+def _ln_bwd_call(c_real, res, do):
     x, g, bln, w1, b1, w2 = res
     N, C = x.shape
     H = w1.shape[1]
@@ -365,7 +386,7 @@ def _ln_bwd_call(res, do):
 
     vec = lambda w: pl.BlockSpec((1, w), lambda i: (0, 0))
     dx, dg, dbln, dw1, db1, dw2, db2 = pl.pallas_call(
-        _make_ln_bwd_kernel(dt),
+        _make_ln_bwd_kernel(dt, c_real),
         grid=((N + pad) // bn,),
         in_specs=[
             pl.BlockSpec((bn, C), lambda i: (i, 0)),
@@ -396,13 +417,13 @@ def _ln_bwd_call(res, do):
             dw1.astype(w1.dtype), db1, dw2.astype(w2.dtype), db2)
 
 
-@jax.custom_vjp
-def _ln_mlp_res_core(x, g, bln, w1, b1, w2, b2):
-    return _ln_fwd_call(x, g, bln, w1, b1, w2, b2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ln_mlp_res_core(x, g, bln, w1, b1, w2, b2, c_real):
+    return _ln_fwd_call(x, g, bln, w1, b1, w2, b2, c_real)
 
 
-def _ln_fwd_rule(x, g, bln, w1, b1, w2, b2):
-    return (_ln_fwd_call(x, g, bln, w1, b1, w2, b2),
+def _ln_fwd_rule(x, g, bln, w1, b1, w2, b2, c_real):
+    return (_ln_fwd_call(x, g, bln, w1, b1, w2, b2, c_real),
             (x, g, bln, w1, b1, w2))
 
 
@@ -418,17 +439,32 @@ def fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2):
     LN -> fused_mlp -> add chain (LN read/write + stats, residual read x +
     read mlp-out + write; measured ~45 ms of the 237 ms ptx step).
 
-    x: (..., C). ln_scale/ln_bias: (C,). Returns x.shape in x.dtype.
+    x: (..., C), or (..., Cp) lane-padded with exact zeros past the real
+    C = w1.shape[0] (the Swin stage pipeline pads 96->128 / 192->256: Pallas
+    block DMAs at non-128-multiple lane widths run at ~180 GB/s vs 500-650
+    for 128-multiples on v5e — scripts/probe_copy_bw.py). Params are padded
+    here with zeros, which keeps pad lanes of the output exactly zero; the
+    LN statistics divide by the real C.
+
+    ln_scale/ln_bias: (C,). Returns x.shape in x.dtype.
     """
     lead = x.shape[:-1]
-    C = x.shape[-1]
-    x2 = x.reshape(-1, C)
+    cp = x.shape[-1]
+    c_real = w1.shape[0]
+    if cp != c_real:
+        padc = ((0, cp - c_real),)
+        ln_scale = jnp.pad(ln_scale, padc)
+        ln_bias = jnp.pad(ln_bias, padc)
+        w1 = jnp.pad(w1, (padc[0], (0, 0)))
+        w2 = jnp.pad(w2, ((0, 0), padc[0]))
+        b2 = jnp.pad(b2, padc)
+    x2 = x.reshape(-1, cp)
     out = _ln_mlp_res_core(
         x2, ln_scale.astype(jnp.float32)[None, :],
         ln_bias.astype(jnp.float32)[None, :],
         w1, b1.astype(jnp.float32)[None, :],
-        w2, b2.astype(jnp.float32)[None, :])
-    return out.reshape(*lead, C)
+        w2, b2.astype(jnp.float32)[None, :], c_real)
+    return out.reshape(*lead, cp)
 
 
 def fused_mlp(x, w1, b1, w2, b2):

@@ -234,9 +234,12 @@ def _dot_tt(a, b, dtype):
 # --------------------------------------------------------------------------- #
 
 def _fwd_body(x, win, bin_, ws, bs, kl, zpad_ref, gpad_ref, V, C, dt):
-    """Shared fwd math on a (bb, V, C) fp32 tile; returns intermediates."""
-    bb = x.shape[0]
-    z = _dot(x.reshape(bb * V, C), win, dt).reshape(bb, V, 3 * C)
+    """Shared fwd math on a (bb, V, C) — or lane-padded (bb, V, Cp) — fp32
+    tile; returns intermediates. Pad lanes of x are exact zeros and win has
+    zero pad rows, so every intermediate is identical to the unpadded math
+    (intermediates stay 3C/C-wide real)."""
+    bb, _, cp = x.shape
+    z = _dot(x.reshape(bb * V, cp), win, dt).reshape(bb, V, 3 * C)
     z = z + bin_[0][None, None, :]
     zc = _causal_mac(zpad_ref, z, ws, V) + bs[0][None, None, :]
     x1 = zc[:, :, :C]
@@ -262,17 +265,18 @@ def _make_fwd_kernel(V, C, dt, ln: bool = False):
             (win_ref, bin_ref, ws_ref, bs_ref, kl_ref, wo_ref, bo_ref,
              o_ref, zpad_scr, gpad_scr) = refs
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             y, _, _ = _ln_fwd(x32, g_ref[0][None, None, :],
-                              bln_ref[0][None, None, :])
+                              bln_ref[0][None, None, :], n=C)
         else:
             y = x32
         *_, v2 = _fwd_body(y, win_ref[...], bin_ref[...], ws_ref[...],
                            bs_ref[...], kl_ref[...], zpad_scr, gpad_scr,
                            V, C, dt)
         out = _dot(v2.reshape(bb * V, C), wo_ref[...], dt) + bo_ref[0][None, :]
-        out = out.reshape(bb, V, C)
+        out = out.reshape(bb, V, cp)
         if ln:
             out = out + x32
         o_ref[...] = out.astype(o_ref.dtype)
@@ -280,9 +284,10 @@ def _make_fwd_kernel(V, C, dt, ln: bool = False):
     return kernel
 
 
-def _weight_specs(C, K, V):
+def _weight_specs(C, K, V, cp=None):
+    cp = cp or C
     return [
-        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
@@ -291,28 +296,29 @@ def _weight_specs(C, K, V):
 
 
 def _fwd(x, win, bin_, ws, bs, kl, wo, bo, ln=None):
-    BW, V, C = x.shape
+    BW, V, cp = x.shape
+    C = win.shape[1] // 3
     dt = x.dtype
-    bb = _pick_bb(V, C, bwd=False)
+    bb = _pick_bb(V, cp, bwd=False)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
     K = ws.shape[0]
 
-    ln_specs = ([pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else [])
+    ln_specs = ([pl.BlockSpec((1, cp), lambda i: (0, 0))] * 2 if ln else [])
     ln_args = tuple(ln) if ln else ()
     out = pl.pallas_call(
         _make_fwd_kernel(V, C, dt, ln=ln is not None),
         grid=grid,
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_specs
-        + _weight_specs(C, K, V)
+        + _weight_specs(C, K, V, cp)
         + [
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, cp), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        out_specs=pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
             pltpu.VMEM((bb, 2 * V, C), jnp.float32),
@@ -354,10 +360,11 @@ def _make_bwd_kernel(V, C, K, dt, ln: bool = False):
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             gln = g_ref[0][None, None, :]
-            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :], n=C)
         else:
             y = x32
         win, bin_, ws, bs, kl = (win_ref[...], bin_ref[...], ws_ref[...],
@@ -367,7 +374,7 @@ def _make_bwd_kernel(V, C, K, dt, ln: bool = False):
             y, win, bin_, ws, bs, kl, zpad_scr, gpad_scr, V, C, dt)
 
         do = do_ref[...].astype(jnp.float32)
-        do2d = do.reshape(bb * V, C)
+        do2d = do.reshape(bb * V, cp)
         dwo_ref[...] += _dot_tt(v2.reshape(bb * V, C), do2d, dt)
         dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
         dv2 = _dot_t(do2d, wo_ref[...], dt).reshape(bb, V, C)
@@ -389,10 +396,10 @@ def _make_bwd_kernel(V, C, K, dt, ln: bool = False):
 
         dz2d = dz.reshape(bb * V, 3 * C)
         dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
-        dwin_ref[...] += _dot_tt(y.reshape(bb * V, C), dz2d, dt)
-        dy = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        dwin_ref[...] += _dot_tt(y.reshape(bb * V, cp), dz2d, dt)
+        dy = _dot_t(dz2d, win, dt).reshape(bb, V, cp)
         if ln:
-            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0])
+            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0], n=C)
             dgln_ref[...] += dgln
             dbln_ref[...] += dbln2
             dx = dx + do           # residual branch
@@ -409,52 +416,53 @@ def _bwd_impl(res, do, ln: bool):
         ln_args = (gln, bln)
     else:
         x, win, bin_, ws, bs, kl, wo = res
-    BW, V, C = x.shape
+    BW, V, cp = x.shape
+    C = win.shape[1] // 3
     dt = x.dtype
     K = ws.shape[0]
-    bb = _pick_bb(V, C, bwd=True)
+    bb = _pick_bb(V, cp, bwd=True)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
     grid = ((BW + pad) // bb,)
 
-    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    vec_c = pl.BlockSpec((1, cp), lambda i: (0, 0))
     ln_in_specs = [vec_c, vec_c] if ln else []
     ln_out_specs = [vec_c, vec_c] if ln else []
-    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, cp), jnp.float32)] * 2
                      if ln else [])
 
     outs = pl.pallas_call(
         _make_bwd_kernel(V, C, K, dt, ln=ln),
         grid=grid,
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_in_specs
-        + _weight_specs(C, K, V)
+        + _weight_specs(C, K, V, cp)
         + [
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_out_specs
         + [
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((V, C), lambda i: (0, 0)),
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, cp), lambda i: (0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype)]
         + ln_out_shapes
         + [
-            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((V, C), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, cp), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
@@ -518,13 +526,14 @@ def _make_fwd_kernel_chunked(V, C, dt, chunk, ln: bool = False):
             (win_ref, bin_ref, ws_ref, bs_ref, m_ref, wo_ref, bo_ref,
              o_ref, zpad_scr, gT_scr, vlT_scr) = refs
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             y, _, _ = _ln_fwd(x32, g_ref[0][None, None, :],
-                              bln_ref[0][None, None, :])
+                              bln_ref[0][None, None, :], n=C)
         else:
             y = x32
-        z = _dot(y.reshape(bb * V, C), win_ref[...], dt).reshape(bb, V, 3 * C)
+        z = _dot(y.reshape(bb * V, cp), win_ref[...], dt).reshape(bb, V, 3 * C)
         z = z + bin_ref[0][None, None, :]
         zc = _causal_mac(zpad_scr, z, ws_ref[...], V) + bs_ref[0][None, None, :]
         x1 = zc[:, :, :C]
@@ -538,7 +547,7 @@ def _make_fwd_kernel_chunked(V, C, dt, chunk, ln: bool = False):
             vl_q = _transpose_chunk_out(vlT_scr, q, bb, chunk, C)
             v2_q = vl_q * x2[:, q * chunk:(q + 1) * chunk, :]
             out_q = _dot(v2_q.reshape(bb * chunk, C), wo, dt) + bo
-            out_q = out_q.reshape(bb, chunk, C)
+            out_q = out_q.reshape(bb, chunk, cp)
             if ln:
                 out_q = out_q + x32[:, q * chunk:(q + 1) * chunk, :]
             o_ref[:, q * chunk:(q + 1) * chunk, :] = out_q.astype(o_ref.dtype)
@@ -546,9 +555,10 @@ def _make_fwd_kernel_chunked(V, C, dt, chunk, ln: bool = False):
     return kernel
 
 
-def _chunked_weight_specs(C, K, n, chunk):
+def _chunked_weight_specs(C, K, n, chunk, cp=None):
+    cp = cp or C
     return [
-        pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+        pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
         pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
@@ -557,30 +567,31 @@ def _chunked_weight_specs(C, K, n, chunk):
 
 
 def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
-    BW, V, C = x.shape
+    BW, V, cp = x.shape
+    C = win.shape[1] // 3
     dt = x.dtype
     chunk = HYENA_CHUNK
     n = V // chunk
-    bb = _pick_bb_chunked(V, C, bwd=False)
+    bb = _pick_bb_chunked(V, cp, bwd=False)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
     K = ws.shape[0]
 
-    ln_specs = ([pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else [])
+    ln_specs = ([pl.BlockSpec((1, cp), lambda i: (0, 0))] * 2 if ln else [])
     ln_args = tuple(ln) if ln else ()
     out = pl.pallas_call(
         _make_fwd_kernel_chunked(V, C, dt, chunk, ln=ln is not None),
         grid=grid,
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_specs
-        + _chunked_weight_specs(C, K, n, chunk)
+        + _chunked_weight_specs(C, K, n, chunk, cp)
         + [
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, cp), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        out_specs=pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
             pltpu.VMEM((C, n * bb, chunk), jnp.float32),
@@ -622,16 +633,17 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             gln = g_ref[0][None, None, :]
-            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+            y, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :], n=C)
         else:
             y = x32
         win, bin_, ws, bs = (win_ref[...], bin_ref[...], ws_ref[...],
                              bs_ref[...])
         # recompute the forward; zpad_scr holds [0|z], gT_scr holds g^T after
-        z = _dot(y.reshape(bb * V, C), win, dt).reshape(bb, V, 3 * C)
+        z = _dot(y.reshape(bb * V, cp), win, dt).reshape(bb, V, 3 * C)
         z = z + bin_[0][None, None, :]
         zc = _causal_mac(zpad_scr, z, ws, V) + bs[0][None, None, :]
         x1 = zc[:, :, :C]
@@ -646,7 +658,7 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
         v2 = vl * x2
 
         do = do_ref[...].astype(jnp.float32)
-        do2d = do.reshape(bb * V, C)
+        do2d = do.reshape(bb * V, cp)
         dwo_ref[...] += _dot_tt(v2.reshape(bb * V, C), do2d, dt)
         dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
         dv2 = _dot_t(do2d, wo_ref[...], dt).reshape(bb, V, C)
@@ -684,10 +696,10 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
 
         dz2d = dz.reshape(bb * V, 3 * C)
         dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
-        dwin_ref[...] += _dot_tt(y.reshape(bb * V, C), dz2d, dt)
-        dy = _dot_t(dz2d, win, dt).reshape(bb, V, C)
+        dwin_ref[...] += _dot_tt(y.reshape(bb * V, cp), dz2d, dt)
+        dy = _dot_t(dz2d, win, dt).reshape(bb, V, cp)
         if ln:
-            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0])
+            dx, dgln, dbln2 = _ln_bwd(dy, xhat, rstd, gln[0], n=C)
             dgln_ref[...] += dgln
             dbln_ref[...] += dbln2
             dx = dx + do
@@ -704,54 +716,55 @@ def _bwd_impl_chunked(res, do, ln: bool):
         ln_args = (gln, bln)
     else:
         x, win, bin_, ws, bs, m, wo = res
-    BW, V, C = x.shape
+    BW, V, cp = x.shape
+    C = win.shape[1] // 3
     dt = x.dtype
     K = ws.shape[0]
     chunk = HYENA_CHUNK
     n = V // chunk
-    bb = _pick_bb_chunked(V, C, bwd=True)
+    bb = _pick_bb_chunked(V, cp, bwd=True)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
     grid = ((BW + pad) // bb,)
 
-    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    vec_c = pl.BlockSpec((1, cp), lambda i: (0, 0))
     ln_in_specs = [vec_c, vec_c] if ln else []
     ln_out_specs = [vec_c, vec_c] if ln else []
-    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, cp), jnp.float32)] * 2
                      if ln else [])
 
     outs = pl.pallas_call(
         _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln=ln),
         grid=grid,
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_in_specs
-        + _chunked_weight_specs(C, K, n, chunk)
+        + _chunked_weight_specs(C, K, n, chunk, cp)
         + [
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_out_specs
         + [
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0)),
+            pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((n, C, chunk, chunk), lambda i: (0, 0, 0, 0)),
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
-            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, cp), lambda i: (0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype)]
         + ln_out_shapes
         + [
-            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((n, C, chunk, chunk), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, cp), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
@@ -822,7 +835,23 @@ def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
     Returns (BW, V, C) in x.dtype. Matches
     out_proj(postgate(L(pregate(conv(in_proj(x)))))) of the composed path
     (fp32 accumulation for convs/gates; matmuls in x.dtype on the MXU).
+
+    Lane padding: x may arrive as (BW, V, Cp) with Cp a 128-multiple > C and
+    exact zeros in the pad lanes (the Swin stage pipeline pads 96->128 /
+    192->256 — Pallas block DMAs at non-128-multiple widths measured
+    ~180 GB/s vs 500-650 on v5e, scripts/probe_copy_bw.py). The projections
+    and LN params are zero-padded here, which keeps output pad lanes exact
+    zeros; intermediates stay real-C-wide in VMEM.
     """
+    cp = x.shape[-1]
+    c = w_in.shape[0]
+    if cp != c:
+        w_in = jnp.pad(w_in, ((0, cp - c), (0, 0)))
+        w_out = jnp.pad(w_out, ((0, 0), (0, cp - c)))
+        b_out = jnp.pad(b_out, ((0, cp - c),))
+        if ln_scale is not None:
+            ln_scale = jnp.pad(ln_scale, ((0, cp - c),))
+            ln_bias = jnp.pad(ln_bias, ((0, cp - c),))
     # causal MAC taps: tap[m] = w[:, K-1-m] (the composed op correlates with
     # the flipped kernel; conv.py:depthwise_conv1d_cm)
     ws = jnp.flip(w_short.astype(jnp.float32).T, axis=0)        # (K, 3C)

@@ -172,8 +172,8 @@ def _conv3_tap_grads(pad_ref, dy, V: int):
 def _pre_scan(x_in, wxz, wconv, wdbl, wdt, dtb2, pad_scr, V, C, Dh, R, N, dt):
     """in_proj -> conv+SiLU -> split -> x_dbl -> dt. pad_scr retains [0|xz|0]
     for the backward's conv tap grads."""
-    bb = x_in.shape[0]
-    xz = _dot(x_in.reshape(bb * V, C), wxz, dt).reshape(bb, V, C)
+    bb, _, cp = x_in.shape
+    xz = _dot(x_in.reshape(bb * V, cp), wxz, dt).reshape(bb, V, C)
     u = _same_conv3(pad_scr, xz, wconv, V)
     s = _silu(u)
     x = s[:, :, :Dh]
@@ -212,10 +212,11 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
              at_ref, dskip_ref, wout_ref, e_ref, fn_ref, o_ref,
              pad_scr, x_scr, dtv_scr, y_scr, a_scr, c_scr) = refs
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             x_in, _, _ = _ln_fwd(x32, gln_ref[0][None, None, :],
-                                 bln_ref[0][None, None, :])
+                                 bln_ref[0][None, None, :], n=C)
         else:
             x_in = x32
         xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
@@ -254,7 +255,7 @@ def _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
 
         y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
         yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
-        out = _dot(yz2, wout_ref[...], dt).reshape(bb, V, C)
+        out = _dot(yz2, wout_ref[...], dt).reshape(bb, V, cp)
         if ln:
             out = out + x32
         o_ref[...] = out.astype(o_ref.dtype)
@@ -302,10 +303,12 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
             dwout_ref[...] = jnp.zeros_like(dwout_ref)
 
         bb = x_ref.shape[0]
+        cp = x_ref.shape[-1]
         x32 = x_ref[...].astype(jnp.float32)
         if ln:
             gln = gln_ref[0][None, None, :]
-            x_in, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :])
+            x_in, xhat, rstd = _ln_fwd(x32, gln, bln_ref[0][None, None, :],
+                                       n=C)
         else:
             x_in = x32
         xz, u, x, z, dt_part, dtv, Bc, Cc = _pre_scan(
@@ -348,7 +351,7 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
 
         # ---- out_proj / D-skip transpose ----------------------------------
         do = g_ref[...].astype(jnp.float32)
-        do2 = do.reshape(bb * V, C)
+        do2 = do.reshape(bb * V, cp)
         y = y_scr[:, :, :Dh] + x * dskip_ref[0][None, None, :]
         yz2 = jnp.concatenate([y, z], axis=-1).reshape(bb * V, C)
         dwout_ref[...] += _dot_tt(yz2, do2, dt)
@@ -425,10 +428,10 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
         dwconv_ref[...] += _conv3_tap_grads(pad_scr, du_conv, V)
         dxz = _same_conv3(pad_scr, du_conv, wconv_ref[...], V, transpose=True)
         dxz2 = dxz.reshape(bb * V, C)
-        dwxz_ref[...] += _dot_tt(x_in.reshape(bb * V, C), dxz2, dt)
-        dxin = _dot_t(dxz2, wxz_ref[...], dt).reshape(bb, V, C)
+        dwxz_ref[...] += _dot_tt(x_in.reshape(bb * V, cp), dxz2, dt)
+        dxin = _dot_t(dxz2, wxz_ref[...], dt).reshape(bb, V, cp)
         if ln:
-            dx, dgln, dbln = _ln_bwd(dxin, xhat, rstd, gln[0])
+            dx, dgln, dbln = _ln_bwd(dxin, xhat, rstd, gln[0], n=C)
             dgln_ref[...] += dgln
             dbln_ref[...] += dbln
             dx = dx + do               # residual branch
@@ -452,51 +455,53 @@ def _chunk_at(AT, Dc: int, n_j: int):
     return jnp.broadcast_to(a, (n_j, 8, N * Dc))
 
 
-def _shapes(x, wdbl, N):
-    BW, V, C = x.shape
+def _shapes(x, wxz, wdbl, N):
+    BW, V, cp = x.shape
+    C = wxz.shape[1]          # real width; x may be lane-padded (cp >= C)
     Dh = C // 2
     R = wdbl.shape[1] - 2 * N
     Dc = _pick_chunk(N, Dh)
     n_j = -(-Dh // Dc)
-    return BW, V, C, Dh, R, Dc, n_j
+    return BW, V, C, cp, Dh, R, Dc, n_j
 
 
-def _weight_specs(C, Dh, R, N, nd, n_j):
+def _weight_specs(C, Dh, R, N, nd, n_j, cp=None):
+    cp = cp or C
     return [
-        pl.BlockSpec((C, C), lambda i: (0, 0)),
+        pl.BlockSpec((cp, C), lambda i: (0, 0)),
         pl.BlockSpec((3, C), lambda i: (0, 0)),
         pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
         pl.BlockSpec((R, Dh), lambda i: (0, 0)),
         pl.BlockSpec((1, Dh), lambda i: (0, 0)),
         pl.BlockSpec((n_j, 8, nd), lambda i: (0, 0, 0)),
         pl.BlockSpec((1, Dh), lambda i: (0, 0)),
-        pl.BlockSpec((C, C), lambda i: (0, 0)),
+        pl.BlockSpec((C, cp), lambda i: (0, 0)),
     ]
 
 
 def _fwd(x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout, N, ln=None):
-    BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
+    BW, V, C, cp, Dh, R, Dc, n_j = _shapes(x, wxz, wdbl, N)
     nd = N * Dc
     dt = x.dtype
-    bb = _pick_bb(V, C, N, n_j, Dc, bwd=False)
+    bb = _pick_bb(V, cp, N, n_j, Dc, bwd=False)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     E, _ = _expand_reduce(N, Dc)
     Fn = _reduce_over_n(N, Dc)
-    ln_specs = [pl.BlockSpec((1, C), lambda i: (0, 0))] * 2 if ln else []
+    ln_specs = [pl.BlockSpec((1, cp), lambda i: (0, 0))] * 2 if ln else []
 
     out = pl.pallas_call(
         _make_fwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln=ln is not None),
         grid=((BW + pad) // bb,),
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_specs
-        + _weight_specs(C, Dh, R, N, nd, n_j)
+        + _weight_specs(C, Dh, R, N, nd, n_j, cp)
         + [
             pl.BlockSpec((N, nd), lambda i: (0, 0)),
             pl.BlockSpec((nd, Dc), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype),
+        out_specs=pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, C), jnp.float32),
             pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
@@ -519,56 +524,56 @@ def _bwd_impl(N, res, do, ln: bool):
     else:
         x, wxz, wconv, wdbl, wdt, dtb2, at_chunks, dskip, wout = res
         ln_args = ()
-    BW, V, C, Dh, R, Dc, n_j = _shapes(x, wdbl, N)
+    BW, V, C, cp, Dh, R, Dc, n_j = _shapes(x, wxz, wdbl, N)
     nd = N * Dc
     dt = x.dtype
-    bb = _pick_bb(V, C, N, n_j, Dc, bwd=True)
+    bb = _pick_bb(V, cp, N, n_j, Dc, bwd=True)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
     E, Fr = _expand_reduce(N, Dc)
     Fn = _reduce_over_n(N, Dc)
 
-    vec_c = pl.BlockSpec((1, C), lambda i: (0, 0))
+    vec_c = pl.BlockSpec((1, cp), lambda i: (0, 0))
     ln_specs = [vec_c, vec_c] if ln else []
-    ln_out_shapes = ([jax.ShapeDtypeStruct((1, C), jnp.float32)] * 2
+    ln_out_shapes = ([jax.ShapeDtypeStruct((1, cp), jnp.float32)] * 2
                      if ln else [])
 
     outs = pl.pallas_call(
         _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln=ln),
         grid=((BW + pad) // bb,),
-        in_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_specs
-        + _weight_specs(C, Dh, R, N, nd, n_j)
+        + _weight_specs(C, Dh, R, N, nd, n_j, cp)
         + [
             pl.BlockSpec((N, nd), lambda i: (0, 0)),
             pl.BlockSpec((nd, Dc), lambda i: (0, 0)),
             pl.BlockSpec((nd, N), lambda i: (0, 0)),
-            pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0))]
+        out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_specs
         + [
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((cp, C), lambda i: (0, 0)),
             pl.BlockSpec((3, C), lambda i: (0, 0)),
             pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
             pl.BlockSpec((R, Dh), lambda i: (0, 0)),
             pl.BlockSpec((1, Dh), lambda i: (0, 0)),
             pl.BlockSpec((n_j, 8, nd), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, Dh), lambda i: (0, 0)),
-            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, cp), lambda i: (0, 0)),
         ],
-        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, C), x.dtype)]
+        out_shape=[jax.ShapeDtypeStruct((BW + pad, V, cp), x.dtype)]
         + ln_out_shapes
         + [
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((cp, C), jnp.float32),
             jax.ShapeDtypeStruct((3, C), jnp.float32),
             jax.ShapeDtypeStruct((Dh, R + 2 * N), jnp.float32),
             jax.ShapeDtypeStruct((R, Dh), jnp.float32),
             jax.ShapeDtypeStruct((1, Dh), jnp.float32),
             jax.ShapeDtypeStruct((n_j, 8, nd), jnp.float32),
             jax.ShapeDtypeStruct((1, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, cp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, 2 * V, C), jnp.float32),
@@ -655,7 +660,17 @@ def mamba_window_mixer(x, w_xz, w_conv_x, w_conv_z, w_dbl, w_dt, dt_bias,
 
     Returns (BW, V, C) in x.dtype.
     """
-    Dh = x.shape[-1] // 2
+    c = w_xz.shape[1]
+    cp = x.shape[-1]
+    if cp != c:
+        # lane-padded stage pipeline (see hyena_window_mixer): zero pad rows
+        # of in_proj / cols of out_proj / LN params keep pad lanes exact zero
+        w_xz = jnp.pad(w_xz, ((0, cp - c), (0, 0)))
+        w_out = jnp.pad(w_out, ((0, 0), (0, cp - c)))
+        if ln_scale is not None:
+            ln_scale = jnp.pad(ln_scale, ((0, cp - c),))
+            ln_bias = jnp.pad(ln_bias, ((0, cp - c),))
+    Dh = c // 2
     Dc = _pick_chunk(d_state, Dh)
     n_j = -(-Dh // Dc)
     # conv taps row-major (3, C): tap[j] applies to x[t-1+j]

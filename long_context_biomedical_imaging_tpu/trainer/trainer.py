@@ -203,6 +203,37 @@ class TrainManager:
         timer = StepTimer(enabled=bool(cfg.get("with_timer")),
                           trace_dir=os.path.join(cfg.log_dir_run, "profile"))
 
+        # Dispatch de-serialization (VERDICT r3 #4): a per-step
+        # jax.device_get(stats) blocks until the step completes — through this
+        # environment's remote-TPU relay a host fetch costs ~30 ms
+        # (bench.py), serializing dispatch and costing up to ~17% of a
+        # 181 ms step. Instead the tiny stats vectors stay on device and are
+        # flushed in one stacked transfer every K steps; the reference's NaN
+        # fail-fast (enhancement_losses.py:55-56,225-226) still aborts the
+        # epoch, on a <= K-step delay. --with_timer forces K=1 so per-step
+        # timings stay meaningful.
+        flush_every = 1 if timer.enabled else max(
+            1, int(cfg.get("stats_fetch_every") or 16))
+        pending: list = []
+
+        def flush_stats():
+            if not pending:
+                return
+            if len(pending) == 1:
+                rows = [np.asarray(jax.device_get(pending[0][0])).reshape(-1)]
+            else:
+                stacked = jnp.stack([p[0].reshape(-1) for p in pending])
+                rows = list(np.asarray(jax.device_get(stacked)))
+            for row, (_, n, lr, epoch, step) in zip(rows, pending):
+                if not np.isfinite(row[0]):
+                    pending.clear()
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {step}")
+                self.metrics.on_train_step_end_device(
+                    row, self._train_metric_names, n=n,
+                    rank=self.rank, curr_lr=lr)
+            pending.clear()
+
         def dispatch(step_fn, state, micros, group_valid, epoch, stacked):
             nonlocal rng, host_step
             if stacked:
@@ -228,15 +259,9 @@ class TrainManager:
             timer.start_step()
             state, stats, _ = step_fn(state, im_d, lb_d, lr, sub, nv_arg)
             host_step += 1
-            stats_host = np.asarray(jax.device_get(stats)).reshape(-1)
-            if not np.isfinite(stats_host[0]):
-                # fail fast like the reference's in-loss NaN guards
-                # (ref: enhancement_losses.py:55-56,225-226)
-                raise FloatingPointError(
-                    f"non-finite loss at epoch {epoch} step {host_step}")
-            self.metrics.on_train_step_end_device(
-                stats_host, self._train_metric_names, n=group_valid,
-                rank=self.rank, curr_lr=lr)
+            pending.append((stats, group_valid, lr, epoch, host_step))
+            if len(pending) >= flush_every:
+                flush_stats()
             timer.end_step()
             return state
 
@@ -268,6 +293,7 @@ class TrainManager:
                                  epoch, stacked=k > 1)
                 micros, group_valid = [], 0
 
+            flush_stats()   # epoch boundary: drain buffered stats + NaN check
             dt = time.perf_counter() - t0
             if timer.enabled:
                 self.file_logger.info("epoch %d %s", epoch, timer.summary())

@@ -166,6 +166,36 @@ def main():
                     g2 = gp.reshape(nb, V * Cp)
                     vl2 = Hy._dot(g2, wp_ref[...], dt)
                     vl = vl2.reshape(nb, V, Cp)[:, :, :C]
+                elif variant == "long-bf16":
+                    # bf16 taps/data/accum: a V=16 window is ONE bf16
+                    # (16,128) tile, so shifted reads stay intra-tile
+                    gb = g.astype(jnp.bfloat16)
+                    tapsb = kl_ref[...].astype(jnp.bfloat16)
+                    y = gb * tapsb[0][None, None, :]
+                    for m in range(1, V):
+                        sh = jnp.pad(gb, ((0, 0), (m, 0), (0, 0)))[:, :V, :]
+                        y = y + sh * tapsb[m][None, None, :]
+                    vl = y.astype(jnp.float32)
+                elif variant == "long-bf16-roll2d":
+                    gb = g.astype(jnp.bfloat16)
+                    tapsb = kl_ref[...].astype(jnp.bfloat16)
+                    nb2 = gb.shape[0]
+                    g2 = gb.reshape(nb2 * V, C)
+                    row = jax.lax.broadcasted_iota(jnp.int32, (nb2 * V, 1), 0) % V
+                    y2 = g2 * tapsb[0][None, :]
+                    for m in range(1, V):
+                        rolled = pltpu.roll(g2, m, 0)
+                        rolled = jnp.where(row >= m, rolled,
+                                           jnp.bfloat16(0.0))
+                        y2 = y2 + rolled * tapsb[m][None, :]
+                    vl = y2.reshape(nb2, V, C).astype(jnp.float32)
+                elif variant == "long-noshift-bf16":
+                    gb = g.astype(jnp.bfloat16)
+                    tapsb = kl_ref[...].astype(jnp.bfloat16)
+                    y = gb * tapsb[0][None, None, :]
+                    for m in range(1, V):
+                        y = y + gb * tapsb[m][None, None, :]
+                    vl = y.astype(jnp.float32)
                 elif variant == "long-noshift":
                     taps = kl_ref[...]
                     vl = g * taps[0][None, None, :]
@@ -213,7 +243,8 @@ def main():
             )(xx, win, bin_, ws, bs, kl, Wl, Wp, wo, bo))
 
         print(f"hyena fwd anatomy at ({BW},{V},{C}), bb={bb}:")
-        for variant in ("copy", "inproj", "nolong", "long-matmul128",
+        for variant in ("copy", "inproj", "nolong", "long-noshift",
+                        "long-noshift-bf16", "long-bf16", "long-bf16-roll2d",
                         "full"):
             try:
                 f = build(variant)

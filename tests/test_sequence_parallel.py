@@ -376,3 +376,127 @@ def test_ring_flash_attention_hlo_has_collective_permute():
     with use_active_mesh(mesh):
         hlo = jax.jit(sp_flash_attention).lower(q, q, q).compile().as_text()
     assert "collective-permute" in hlo, "ring rotation did not materialize"
+
+
+def test_sp_flash_attention_ring_tail_hlo_no_allgather_of_kv():
+    """Non-divisible L with L >= ways (the cls-token geometry) must route to
+    the ring+tail path: compiled HLO shows collective-permutes (the ring) and
+    the only replicated k/v term is the r-token tail, not the full sequence.
+    The numeric parity of this path is covered by
+    test_sp_flash_attention_matches_unsharded (258 = 4*64 + 2)."""
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    q = jnp.zeros((2, 2, 257, 16), jnp.float32)   # 257 = 4*64 + 1 (cls token)
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        hlo = jax.jit(sp_flash_attention).lower(q, q, q).compile().as_text()
+    assert "collective-permute" in hlo, \
+        "cls-token geometry fell back to gathered k/v instead of the ring"
+
+
+def test_sp_flash_attention_below_ways_gathered_fallback():
+    """L < ways has no ring chunk; the gathered-k/v fallback must still give
+    exact parity (fwd + grads)."""
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        attention_reference)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, 2, 3, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 2, 3, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 2, 3, 16).astype(np.float32))
+
+    ref = attention_reference(q, k, v)
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        got = jax.jit(sp_flash_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sp_flash_attention_ring_tail_16k_cls_geometry():
+    """VERDICT r3 #2 done-criterion: ring+tail parity at the 16385-token
+    attention+classification geometry (16384 patch tokens + 1 cls) on the
+    virtual mesh, fwd + grads through the lse merge and the psummed tail."""
+    from long_context_biomedical_imaging_tpu.ops.attention import (
+        sp_flash_attention)
+    from long_context_biomedical_imaging_tpu.ops.flash_attention import (
+        flash_attention)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(4)
+    L = 16385
+    q = jnp.asarray(rs.randn(1, 1, L, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(1, 1, L, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(1, 1, L, 16).astype(np.float32))
+
+    ref = flash_attention(q, k, v)
+    gref = jax.grad(lambda *a: jnp.mean(jnp.sin(flash_attention(*a))),
+                    argnums=(0, 1, 2))(q, k, v)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    with use_active_mesh(mesh):
+        got = jax.jit(sp_flash_attention)(q, k, v)
+        gsp = jax.jit(jax.grad(
+            lambda *a: jnp.mean(jnp.sin(sp_flash_attention(*a))),
+            argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    for name, a, b_ in zip("q k v".split(), gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6, err_msg=f"grad {name}")
+
+
+def test_sp_spectral_conv_matches_single_device():
+    """VERDICT r3 #3: under sequence parallelism the hyena long conv must
+    keep the fused Pallas spectral kernel (shard_map over channel-sharded
+    cells), not fall back to the 5.8x-slower XLA matmul-FFT. Checks dispatch
+    (via a counting wrapper) and numeric parity fwd + grads."""
+    from long_context_biomedical_imaging_tpu.ops import fftconv
+    from long_context_biomedical_imaging_tpu.ops.fftconv import (
+        fft_causal_conv)
+    from long_context_biomedical_imaging_tpu.parallel import (
+        create_mesh, use_active_mesh)
+
+    rs = np.random.RandomState(5)
+    B, D, L = 2, 8, 8192            # L >= SPECTRAL_MIN_LEN, D % model == 0
+    u = jnp.asarray(rs.randn(B, D, L).astype(np.float32))
+    kf = jnp.asarray((rs.randn(D, L) * np.exp(
+        -np.linspace(0, 8, L))[None, :]).astype(np.float32))
+    bias = jnp.asarray(rs.randn(D).astype(np.float32))
+
+    ref = fft_causal_conv(u, kf, bias)
+    gref = jax.grad(lambda *a: jnp.mean(jnp.sin(fft_causal_conv(*a))),
+                    argnums=(0, 1, 2))(u, kf, bias)
+
+    calls = []
+    orig = fftconv.spectral_causal_conv
+
+    def spy(*a):
+        calls.append(1)
+        return orig(*a)
+
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    fftconv.spectral_causal_conv = spy
+    try:
+        with use_active_mesh(mesh):
+            got = jax.jit(fft_causal_conv)(u, kf, bias)
+            gsp = jax.jit(jax.grad(
+                lambda *a: jnp.mean(jnp.sin(fft_causal_conv(*a))),
+                argnums=(0, 1, 2)))(u, kf, bias)
+    finally:
+        fftconv.spectral_causal_conv = orig
+    assert calls, "SP hyena long conv did not dispatch to the spectral kernel"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+    for name, a, b_ in zip("u k bias".split(), gsp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-2, atol=5e-2, err_msg=f"grad {name}")
