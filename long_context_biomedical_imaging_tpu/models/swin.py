@@ -263,15 +263,21 @@ class BasicLayer(nn.Module):
             # materialized layout copies.
             xp, (dp, hp, wp) = pad_to_window_multiple(x, window_size)
             xw = window_partition(xp, window_size)
-            # Lane-pad the stage stream to a 128 multiple (96->128, 192->256):
-            # Pallas block DMAs at non-128-multiple lane widths run at
-            # ~180 GB/s vs 500-650 for 128-multiples on v5e
-            # (scripts/probe_copy_bw.py) — and the fused mixer/MLP kernels'
-            # x/out/dx/do streams dominate the stage's HBM traffic. Paid once
-            # per stage; the kernels zero-pad their projections so pad lanes
-            # stay exact zeros end to end (identical math, ops/fused_mlp LN
-            # divides by the real C).
-            c_pad = (-c) % 128
+            # Lane-pad the stage stream to a 128 multiple (96->128, 192->256)
+            # — measured and OFF by default. Pallas block DMAs at
+            # non-128-multiple lane widths run ~180 GB/s vs 500-650 for
+            # 128-multiples on v5e (scripts/probe_copy_bw.py), but the fused
+            # mixer/MLP kernels pipeline their block DMA behind compute, so
+            # padding left the ptx step unchanged (184.9 vs 181.1 ms, kernel
+            # buckets 95.96/43.76 vs 97.2/42.2 ms) while paying ~2 ms of
+            # pad/slice passes and +33% stage-activation memory (a real cost
+            # for the remat'd workloads near the HBM line). The pad-aware
+            # kernel path stays (exact math: zero-padded projections, LN over
+            # the real C) for kernels that become DMA-bound later; enable
+            # with LCBI_LANE_PAD=1.
+            import os as _os
+            c_pad = ((-c) % 128 if _os.environ.get("LCBI_LANE_PAD") == "1"
+                     else 0)
             if c_pad:
                 xw = jnp.pad(xw, ((0, 0), (0, 0), (0, c_pad)))
             for i in range(self.depth):

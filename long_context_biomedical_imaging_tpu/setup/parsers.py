@@ -102,6 +102,14 @@ def build_general_parser() -> argparse.ArgumentParser:
                         "residuals (measured 57GB for ViT+ViTUNETR b4); remat "
                         "keeps only block boundaries")
     p.add_argument("--with_timer", action="store_true")
+    p.add_argument("--stats_fetch_every", type=int, default=16,
+                   help="Train-loop device->host stats flush cadence: the "
+                        "per-step loss/metric vector stays on device and is "
+                        "fetched as one stacked transfer every K steps (a "
+                        "host fetch costs ~30ms through the remote-TPU relay "
+                        "and serializes dispatch). NaN fail-fast still aborts "
+                        "the epoch, on a <=K-step delay; --with_timer forces "
+                        "K=1.")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval_frequency", type=int, default=1)
     p.add_argument("--checkpoint_frequency", type=int, default=10)

@@ -131,10 +131,16 @@ def main():
                 y = y + pad_ref[:, V - r:2 * V - r, :]
             return y
 
+        # per-tap causal tap matrices: tm[m, t, c] = (t >= m) * kl[m, c]
+        tm_np = np.zeros((V, V, C), np.float32)
+        for m_ in range(V):
+            tm_np[m_, m_:, :] = kl_np[m_][None, :]
+        tm = jnp.asarray(tm_np)
+
         def make(variant):
             def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, kl_ref,
-                       wl_ref, wp_ref, wo_ref, bo_ref, o_ref, zpad_scr,
-                       gpad_scr):
+                       wl_ref, wp_ref, tm_ref, wo_ref, bo_ref, o_ref,
+                       zpad_scr, gpad_scr):
                 nb = x_ref.shape[0]
                 xx = x_ref[...].astype(jnp.float32)
                 if variant == "copy":
@@ -166,6 +172,30 @@ def main():
                     g2 = gp.reshape(nb, V * Cp)
                     vl2 = Hy._dot(g2, wp_ref[...], dt)
                     vl = vl2.reshape(nb, V, Cp)[:, :, :C]
+                elif variant == "long-tapmat":
+                    # roll + tap-MATRIX mul: the causal mask is baked into a
+                    # per-tap (V, C) matrix tm[m, t, c] = (t >= m) * kl[m, c]
+                    # so each tap is roll + mul + add (no iota/select)
+                    tm = tm_ref[...]
+                    vl = g * tm[0][None, :, :]
+                    for m in range(1, V):
+                        rolled = pltpu.roll(g, m, 1)
+                        vl = vl + rolled * tm[m][None, :, :]
+                elif variant == "long-rollonly":
+                    # isolates the roll cost: no masks, no tap muls
+                    vl = g
+                    for m in range(1, V):
+                        vl = vl + pltpu.roll(g, m, 1)
+                elif variant == "long-shift-tapmat":
+                    # padded-scratch shifted reads + tap-matrix mul (is the
+                    # where() or the unaligned read the expensive part?)
+                    tm = tm_ref[...]
+                    gpad_scr[:, :V, :] = jnp.zeros_like(g)
+                    gpad_scr[:, V:, :] = g
+                    vl = g * tm[0][None, :, :]
+                    for m in range(1, V):
+                        vl = vl + gpad_scr[:, V - m:2 * V - m, :] \
+                            * tm[m][None, :, :]
                 elif variant == "long-bf16":
                     # bf16 taps/data/accum: a V=16 window is ONE bf16
                     # (16,128) tile, so shifted reads stay intra-tile
@@ -231,6 +261,7 @@ def main():
                 + Hy._weight_specs(C, K, V)
                 + [pl.BlockSpec((V * C, V * C), lambda i: (0, 0)),
                    pl.BlockSpec((V * 128, V * 128), lambda i: (0, 0)),
+                   pl.BlockSpec((V, V, C), lambda i: (0, 0, 0)),
                    pl.BlockSpec((C, C), lambda i: (0, 0)),
                    pl.BlockSpec((1, C), lambda i: (0, 0))],
                 out_specs=pl.BlockSpec((bb, V, C), lambda i: (i, 0, 0)),
@@ -240,11 +271,11 @@ def main():
                     pltpu.VMEM((bb, 2 * V, C), jnp.float32),
                 ],
                 compiler_params=Hy._compiler_params(),
-            )(xx, win, bin_, ws, bs, kl, Wl, Wp, wo, bo))
+            )(xx, win, bin_, ws, bs, kl, Wl, Wp, tm, wo, bo))
 
         print(f"hyena fwd anatomy at ({BW},{V},{C}), bb={bb}:")
         for variant in ("copy", "inproj", "nolong", "long-noshift",
-                        "long-noshift-bf16", "long-bf16", "long-bf16-roll2d",
+                        "long-rollonly", "long-tapmat", "long-shift-tapmat",
                         "full"):
             try:
                 f = build(variant)

@@ -1,0 +1,107 @@
+"""Sustained run.py training throughput at the ptx geometry (VERDICT r3 #4).
+
+bench.py times the bare compiled step; the reference's production path runs
+DataLoader workers + per-step metrics around the hot loop
+(ref: trainer/trainer_base.py:126-135,154-189). This measures the same thing
+for the TPU rebuild: a REAL run.py epoch over synthetic on-disk .npy subjects
+(loader threads + paired augmentations + device stats accumulation), and
+reports samples/s from the trainer's own epoch line to compare against the
+bench.py number. Done-criterion: sustained >= 90% of bench.py.
+
+Usage: python scripts/bench_sustained.py [--subjects 128] [--epochs 3]
+       [--h 1024] [--w 1024] [--b 4] [--stats-every 16]
+"""
+import argparse
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_dataset(root: str, n: int, h: int, w: int):
+    import numpy as np
+    os.makedirs(root, exist_ok=True)
+    rows = ["SubjectID,Label"]
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        sid = f"s{i:04d}"
+        d = os.path.join(root, sid)
+        os.makedirs(d, exist_ok=True)
+        # fp32 like the reference loader's source arrays
+        np.save(os.path.join(d, f"{sid}_input.npy"),
+                rs.rand(h, w).astype(np.float32))
+        rows.append(f"{sid},{i % 2}")
+    with open(os.path.join(root, "x_metadata.csv"), "w") as f:
+        f.write("\n".join(rows))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subjects", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--h", type=int, default=1024)
+    ap.add_argument("--w", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=4)
+    ap.add_argument("--stats-every", type=int, default=16)
+    ap.add_argument("--keep", action="store_true")
+    a = ap.parse_args()
+
+    data = f"/tmp/lcbi_sustained_{a.h}x{a.w}"
+    marker = os.path.join(data, f".n{a.subjects}")
+    if not os.path.exists(marker):
+        if os.path.exists(data):
+            shutil.rmtree(data)
+        print(f"writing {a.subjects} synthetic subjects to {data} ...",
+              flush=True)
+        make_dataset(data, a.subjects, a.h, a.w)
+        open(marker, "w").close()
+
+    logdir = "/tmp/lcbi_sustained_logs"
+    if os.path.exists(logdir):
+        shutil.rmtree(logdir)
+    # the ptx config (projects/run_ptx.sh geometry) with eval disabled so the
+    # measured epochs are pure training; 60/20/20 split leaves ~60% for train
+    cmd = [sys.executable, os.path.join(ROOT, "run.py"),
+           "--task_type=class", "--encoder_name=Swin",
+           "--decoder_name=SwinLinear", f"--data_dir={data}",
+           f"--log_dir={logdir}", "--run_name=sustained", "--override",
+           f"--height={a.h}", f"--width={a.w}", "--time=1",
+           "--no_in_channel=1", "--no_out_channel=2",
+           f"--batch_size={a.b}", f"--num_epochs={a.epochs}",
+           "--scheduler_type=OneCycleLR", "--use_amp",
+           "--Swin.size=tiny", "--Swin.patch_size", "2",
+           "--Swin.window_size", "4", "--Swin.use_hyena=True",
+           f"--stats_fetch_every={a.stats_every}",
+           "--eval_val_set=False", "--eval_test_set=False",
+           "--eval_frequency=1000000",
+           "--affine_aug=True", "--brightness_aug=True", "--gaussian_blur_aug=True"]
+    print(" ".join(cmd), flush=True)
+    env = dict(os.environ)
+    r = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    sys.stderr.write(r.stderr[-3000:])
+    log = os.path.join(logdir, "sustained", "run.log")
+    rates = []
+    if os.path.exists(log):
+        for line in open(log):
+            m = re.search(r"epoch (\d+) train: .*\(([\d.]+)s, ([\d.]+) samples/s\)",
+                          line)
+            if m:
+                rates.append((int(m.group(1)), float(m.group(2)),
+                              float(m.group(3))))
+    for ep, secs, rate in rates:
+        tag = " (compile epoch)" if ep == 0 else ""
+        print(f"epoch {ep}: {secs:.1f}s  {rate:.2f} samples/s{tag}")
+    if len(rates) > 1:
+        steady = max(r for ep, _, r in rates if ep > 0)
+        print(f"SUSTAINED: {steady:.2f} samples/s "
+              f"(stats_fetch_every={a.stats_every})")
+    if not a.keep and os.path.exists(logdir):
+        shutil.rmtree(logdir)
+
+
+if __name__ == "__main__":
+    main()

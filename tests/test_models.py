@@ -183,3 +183,25 @@ def test_identity_passthrough():
                       no_in_channel=2, no_out_channel=2)
     out, _ = init_and_forward(cfg)
     assert out.shape == (2, 1, 8, 8, 2)
+
+
+@pytest.mark.parametrize("mixer", ["hyena", "mamba"])
+def test_swin_lane_padded_stage_matches_default(mixer, monkeypatch):
+    """LCBI_LANE_PAD=1 routes the windowed stages through the lane-padded
+    kernel pipeline (ops pad projections/LN params to a 128-multiple, LN
+    divides by the real C): outputs must match the unpadded default exactly
+    (pad lanes are exact zeros end to end)."""
+    import numpy as np
+
+    cfg = swin_cfg("SwinLinear", "class", mixer)
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 1, 32, 32, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    ref = model.apply(variables, x, deterministic=True,
+                      mutable=["batch_stats"])[0]
+    monkeypatch.setenv("LCBI_LANE_PAD", "1")
+    got = model.apply(variables, x, deterministic=True,
+                      mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
