@@ -62,10 +62,13 @@ def _interpret() -> bool:
 
 def _compiler_params():
     # unrolled shift-MAC temporaries blow the default 16MB scoped VMEM cap;
-    # raise it (v5e has 128MB). Lazy — see window_attention.py.
+    # raise it (v5e has 128MB; 110MB leaves headroom for the grid DMA
+    # double-buffers Mosaic adds outside the scoped accounting — the chunked
+    # bwd kernel at C=192 sits at ~99M scoped even at bb=1).
+    # Lazy — see window_attention.py.
     if jax.default_backend() == "cpu":
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
 def hyena_window_supported(v: int, c: int | None = None) -> bool:
@@ -79,7 +82,18 @@ def hyena_window_supported(v: int, c: int | None = None) -> bool:
             and c <= HYENA_CHUNKED_MAX_CHANNELS)
 
 
-def _pick_bb(V: int, C: int, bwd: bool) -> int:
+def _cap_rows(bb: int, bw: int) -> int:
+    """Never pick a block taller than the (pow2-rounded-up) row count: the
+    call pads BW up to a bb multiple, so bb > BW is pure padding work — a
+    13x slowdown for the small interpret-mode parity tests (BW=5 padded to
+    the 64-row block, with the chunked transposes looping over every row)."""
+    cap = 8
+    while cap < bw and cap < bb:
+        cap *= 2
+    return min(bb, cap)
+
+
+def _pick_bb(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
     """Rows (windows) per grid block: the live fp32 set is ~14 C-wide token
     tiles (z/zc/zpad are 3C-wide) in fwd and ~2x that in bwd.
 
@@ -98,25 +112,31 @@ def _pick_bb(V: int, C: int, bwd: bool) -> int:
     bb = 8
     while bb * 2 <= rows and bb < 1024:
         bb *= 2
-    return bb
+    return _cap_rows(bb, bw)
 
 
-def _pick_bb_chunked(V: int, C: int, bwd: bool) -> int:
+def _pick_bb_chunked(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
     """Rows per grid block for the chunked (V>64) kernels. The fp32 live set
     per row is ~16 (fwd) / ~30 (bwd) V*C token tiles (z/zc/dzc are 3C-wide,
-    zpad is 6C-wide); the M/dM blocks are bb-independent. Env overrides
-    LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
+    zpad is 6C-wide). The M (bf16 in) / dM (fp32 out) Toeplitz blocks are
+    bb-independent but NOT free: n*C*chunk^2 = C*V*chunk bytes each, 37.8MB
+    combined at C=192/V=512 — ignoring them pushed the bwd kernel's scoped
+    allocation to 109.8M (over the 100M cap) at bb=2 in some surrounding-HLO
+    contexts (the cmr/emb no-remat compiles, round 4). Subtracting the fixed
+    cost keeps C=96 at bb=4 (unchanged) and drops C=192 to bb=1. Env
+    overrides LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
     import os
     env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
     if env:
         return int(env)
+    fixed = C * V * HYENA_CHUNK * (2 + 4 if bwd else 2)
     per_row = V * C * 4 * (30 if bwd else 16)
-    budget = (24 if bwd else 32) * 1024 * 1024
-    rows = max(budget // per_row, 1)
+    budget = (56 if bwd else 48) * 1024 * 1024
+    rows = max((budget - fixed) // per_row, 1)
     bb = 1
     while bb * 2 <= rows and bb < 64:
         bb *= 2
-    return bb
+    return _cap_rows(bb, bw)
 
 
 def _build_chunk_toeplitz(kl, chunk: int):
@@ -299,7 +319,7 @@ def _fwd(x, win, bin_, ws, bs, kl, wo, bo, ln=None):
     BW, V, cp = x.shape
     C = win.shape[1] // 3
     dt = x.dtype
-    bb = _pick_bb(V, cp, bwd=False)
+    bb = _pick_bb(V, cp, bwd=False, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
@@ -420,7 +440,7 @@ def _bwd_impl(res, do, ln: bool):
     C = win.shape[1] // 3
     dt = x.dtype
     K = ws.shape[0]
-    bb = _pick_bb(V, cp, bwd=True)
+    bb = _pick_bb(V, cp, bwd=True, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
@@ -572,7 +592,7 @@ def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
     dt = x.dtype
     chunk = HYENA_CHUNK
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=False)
+    bb = _pick_bb_chunked(V, cp, bwd=False, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
@@ -722,7 +742,7 @@ def _bwd_impl_chunked(res, do, ln: bool):
     K = ws.shape[0]
     chunk = HYENA_CHUNK
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=True)
+    bb = _pick_bb_chunked(V, cp, bwd=True, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do

@@ -17,7 +17,7 @@ $RUN \
                 --batch_size 2 --num_epochs=250 --train_model=True \
                 --encoder_name=Swin --Swin.size=tiny \
                 --Swin.patch_size 2 --Swin.window_size 4 \
-                --Swin.use_hyena False --Swin.use_mamba True --Swin.use_checkpoint True \
+                --Swin.use_hyena False --Swin.use_mamba True \
                 --decoder_name=UperNet3D --loss_func=CrossEntropy \
                 --optim_type=adam --optim.lr=1e-4 --optim.beta1=0.9 --optim.beta2=0.99 \
                 --scheduler_type OneCycleLR \

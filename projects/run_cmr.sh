@@ -18,7 +18,6 @@ $RUN \
                 --encoder_name=Swin --Swin.size=tiny \
                 --Swin.patch_size 2 --Swin.window_size 8 \
                 --Swin.use_hyena True --Swin.use_mamba False \
-                --Swin.use_checkpoint True \
                 --decoder_name=UperNet3D --loss_func=CombinationEnhance \
                 --optim_type=adam --optim.lr=1e-5 --optim.beta1=0.9 --optim.beta2=0.99 \
                 --scheduler_type OneCycleLR \

@@ -17,7 +17,7 @@ $RUN \
                 --batch_size 4 --num_epochs=250 --train_model=True \
                 --encoder_name=Swin --Swin.size=tiny \
                 --Swin.patch_size 2 --Swin.window_size 8 \
-                --Swin.use_hyena True --Swin.use_mamba False --Swin.use_checkpoint True \
+                --Swin.use_hyena True --Swin.use_mamba False \
                 --decoder_name=SwinLinear --loss_func=CrossEntropy \
                 --optim_type=adam --optim.lr=1e-5 --optim.beta1=0.9 --optim.beta2=0.99 \
                 --scheduler_type OneCycleLR \

@@ -18,7 +18,6 @@ $RUN \
                 --encoder_name=Swin --Swin.size=tiny \
                 --Swin.patch_size 2 --Swin.window_size 8 \
                 --Swin.use_hyena False --Swin.use_mamba True \
-                --Swin.use_checkpoint True \
                 --decoder_name=UperNet2D --loss_func=CrossEntropy \
                 --optim_type=adam --optim.lr=1e-3 --optim.beta1=0.9 --optim.beta2=0.99 \
                 --scheduler_type OneCycleLR \

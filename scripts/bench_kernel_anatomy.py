@@ -276,6 +276,7 @@ def main():
         print(f"hyena fwd anatomy at ({BW},{V},{C}), bb={bb}:")
         for variant in ("copy", "inproj", "nolong", "long-noshift",
                         "long-rollonly", "long-tapmat", "long-shift-tapmat",
+                        "long-bf16", "long-dge", "long-matmul128",
                         "full"):
             try:
                 f = build(variant)
@@ -292,6 +293,224 @@ def main():
                   f"(scale {np.abs(da).max():.1f})")
         except Exception as e:
             print(f"  check FAILED: {str(e)[:120]}")
+
+    elif a.op == "vpu":
+        # VPU peak calibration: R compute passes per element on a VMEM-resident
+        # fp32 tile, one DMA in/out per block. Slope vs R gives element-ops/s
+        # for each op class — the denominator for every kernel's VPU-roofline
+        # share (there is no public v5e VPU ops/s figure to cite; measure it).
+        import numpy as np
+        rows, lanes = 512, 1024
+        nblk = 128
+        x = jax.random.normal(rng, (nblk * rows, lanes), jnp.float32)
+        xb = x.astype(jnp.bfloat16)
+
+        def make(op, R):
+            def kernel(x_ref, o_ref):
+                y = x_ref[...]
+                c = jnp.float32(0.999) if y.dtype == jnp.float32 \
+                    else jnp.bfloat16(0.999)
+                for _ in range(R):
+                    if op == "fma":
+                        y = y * c + c
+                    elif op == "mul":
+                        y = y * c
+                    elif op == "exp2":
+                        y = jnp.exp2(-jnp.abs(y))
+                    elif op == "tanh":
+                        y = jnp.tanh(y)
+                    elif op == "roll":
+                        y = pltpu.roll(y, 1, 0) + c
+                    elif op == "max":
+                        y = jnp.maximum(y, c)
+                o_ref[...] = y
+
+            return kernel
+
+        def build(op, R, data):
+            return jax.jit(lambda xx: pl.pallas_call(
+                make(op, R),
+                grid=(nblk,),
+                in_specs=[pl.BlockSpec((rows, lanes), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((rows, lanes), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
+            )(xx))
+
+        n_elem = nblk * rows * lanes
+        print(f"VPU calibration on ({rows},{lanes}) fp32/bf16 tiles, "
+              f"{n_elem/1e6:.0f}M elements:")
+        for op in ("fma", "mul", "exp2", "tanh", "roll", "max"):
+            for data, tag in ((x, "f32"), (xb, "bf16")):
+                try:
+                    f8 = build(op, 8, data)
+                    f40 = build(op, 40, data)
+                    t8 = timeit(lambda: f8(data), chain=10)
+                    t40 = timeit(lambda: f40(data), chain=10)
+                    per_pass = (t40 - t8) / 32  # ms per compute pass
+                    rate = n_elem / (per_pass * 1e-3)
+                    print(f"  {op:5s} {tag:4s} {per_pass:7.3f} ms/pass  "
+                          f"{rate/1e9:7.1f} Gelem/s", flush=True)
+                except Exception as e:
+                    print(f"  {op:5s} {tag:4s} FAILED: {str(e)[:100]}",
+                          flush=True)
+
+    elif a.op == "flash":
+        # VPU-vs-MXU attribution for the fused flash backward (VERDICT r3 #7):
+        # variants of _bwd_fused_kernel with the elementwise stages disabled.
+        # The deltas measure what the exp2 recompute / softmax-grad muls /
+        # bf16 casts cost against the 5-matmul floor, giving the kernel's
+        # measured ceiling (matmul floor + inherent VPU work) instead of the
+        # asserted one.
+        import importlib
+        F = importlib.import_module(
+            "long_context_biomedical_imaging_tpu.ops.flash_attention")
+        L = a.bw if a.bw != 65536 else 16384
+        bh, d = 12, 64
+        bq = int(os.environ.get("FLASH_BQ", 512))
+        bk = int(os.environ.get("FLASH_BK", 1024))
+        n_q, n_k = L // bq, L // bk
+        q = jax.random.normal(rng, (bh, L, d), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (bh, L, d), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (bh, L, d), jnp.bfloat16)
+        do = jax.random.normal(jax.random.PRNGKey(3), (bh, L, d), jnp.bfloat16)
+        lse = jax.random.normal(jax.random.PRNGKey(4), (bh, L, 1),
+                                jnp.float32) * 2.0 + 8.0
+        delta = jax.random.normal(jax.random.PRNGKey(5), (bh, L, 1),
+                                  jnp.float32)
+        scale2 = (d ** -0.5) * 1.4426950408889634
+
+        gb = F._fused_bwd_group_blocks(d, bq, bk, 2)
+        gb = max(min(gb, n_q), 1)
+
+        def make(variant):
+            def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr):
+                ik = pl.program_id(1)
+                iq = pl.program_id(2)
+                n_k_ = pl.num_programs(1)
+                n_q_ = pl.num_programs(2)
+
+                @pl.when(iq == 0)
+                def _init_kv():
+                    dk_scr[:] = jnp.zeros_like(dk_scr)
+                    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+                qv = q_ref[0].astype(jnp.float32) * scale2
+                kv = k_ref[0]
+                s = jax.lax.dot_general(
+                    qv.astype(kv.dtype), kv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if variant == "matmuls":
+                    p = s
+                elif variant == "noexp":
+                    p = s - lse_ref[0]
+                else:
+                    p = jnp.exp2(s - lse_ref[0])
+                dv_scr[:] += jax.lax.dot_general(
+                    p.astype(do_ref.dtype), do_ref[0],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(
+                    do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if variant == "matmuls":
+                    ds = dp
+                elif variant == "nodsmul":
+                    ds = dp - delta_ref[0]
+                else:
+                    ds = p * (dp - delta_ref[0])
+                if variant == "onecast":
+                    dsb = ds.astype(q_ref.dtype)
+                    dk_scr[:] += jax.lax.dot_general(
+                        dsb, q_ref[0], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dq_c = jax.lax.dot_general(
+                        dsb, kv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    dk_scr[:] += jax.lax.dot_general(
+                        ds.astype(q_ref.dtype), q_ref[0],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dq_c = jax.lax.dot_general(
+                        ds.astype(kv.dtype), kv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                rows = pl.dslice(iq * bq, bq)
+
+                @pl.when(ik == 0)
+                def _dq_store():
+                    dq_scr[rows, :] = dq_c
+
+                @pl.when(ik > 0)
+                def _dq_accum():
+                    dq_scr[rows, :] += dq_c
+
+                @pl.when(ik == n_k_ - 1)
+                def _dq_flush():
+                    dq_ref[0, rows, :] = dq_scr[rows, :].astype(dq_ref.dtype)
+
+                @pl.when(iq == n_q_ - 1)
+                def _kv_flush():
+                    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+                    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+            return kernel
+
+        def build(variant):
+            def run(q, k, v, do, lse, delta):
+                dq_parts, dk_acc, dv_acc = [], None, None
+                for g in range(-(-n_q // gb)):
+                    q0 = g * gb * bq
+                    rows = min(gb, n_q - g * gb) * bq
+                    dqg, dkg, dvg = pl.pallas_call(
+                        make(variant),
+                        grid=(bh, n_k, rows // bq),
+                        in_specs=[
+                            pl.BlockSpec((1, bq, d), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bq, d), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bq, 1), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bq, 1), lambda b, ik, iq: (b, iq, 0)),
+                        ],
+                        out_specs=[
+                            pl.BlockSpec((1, rows, d), lambda b, ik, iq: (b, 0, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                        ],
+                        out_shape=[
+                            jax.ShapeDtypeStruct((bh, rows, d), q.dtype),
+                            jax.ShapeDtypeStruct((bh, L, d), jnp.float32),
+                            jax.ShapeDtypeStruct((bh, L, d), jnp.float32),
+                        ],
+                        scratch_shapes=[
+                            pltpu.VMEM((rows, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                        ],
+                        compiler_params=pltpu.CompilerParams(
+                            vmem_limit_bytes=100 * 1024 * 1024),
+                    )(q[:, q0:q0 + rows], k, v, do[:, q0:q0 + rows],
+                      lse[:, q0:q0 + rows], delta[:, q0:q0 + rows])
+                    dq_parts.append(dqg)
+                    dk_acc = dkg if dk_acc is None else dk_acc + dkg
+                    dv_acc = dvg if dv_acc is None else dv_acc + dvg
+                return jnp.concatenate(dq_parts, axis=1), dk_acc, dv_acc
+
+            jitted = jax.jit(run)
+            return lambda: jitted(q, k, v, do, lse, delta)[0]
+
+        flops = 10.0 * L * L * d * bh
+        print(f"flash fused-bwd anatomy at L={L} bh={bh} d={d} "
+              f"blocks=({bq},{bk}) gb={gb}:")
+        for variant in ("matmuls", "nodsmul", "noexp", "onecast", "full"):
+            try:
+                f = build(variant)
+                ms = timeit(f)
+                print(f"  {variant:10s} {ms:7.2f} ms  "
+                      f"{flops / (ms * 1e-3) / 1e12:6.1f} TF/s", flush=True)
+            except Exception as e:
+                print(f"  {variant:10s} FAILED: {str(e)[:120]}", flush=True)
 
     elif a.op == "mlp":
         from long_context_biomedical_imaging_tpu.ops import fused_mlp as M

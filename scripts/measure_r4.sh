@@ -23,10 +23,10 @@ fi
 if has swin; then
   run scripts/bench_config.py --mixer hyena --h 1024 --w 1024 --b 4 --window 4 --patch 2                                        # ptx
   run scripts/bench_config.py --mixer mamba --h 1024 --w 1024 --b 4 --window 4 --patch 2 --task enhance --decoder UperNet2D --cout 1  # micro
-  run scripts/bench_config.py --mixer mamba --h 1024 --w 1024 --b 4 --window 8 --patch 2 --task seg --decoder UperNet2D --cin 3 --cout 2 --remat  # vessel
-  run scripts/bench_config.py --mixer hyena --h 128 --w 128 --t 32 --b 16 --window 8 --patch 2 --task enhance --decoder UperNet3D --cin 2 --cout 2 --remat  # cmr
-  run scripts/bench_config.py --mixer hyena --h 256 --w 256 --t 64 --b 4 --window 8 --patch 2 --task class --decoder SwinLinear --remat  # emb
-  run scripts/bench_config.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10 --remat  # abct
+  run scripts/bench_config.py --mixer mamba --h 1024 --w 1024 --b 4 --window 8 --patch 2 --task seg --decoder UperNet2D --cin 3 --cout 2  # vessel
+  run scripts/bench_config.py --mixer hyena --h 128 --w 128 --t 32 --b 16 --window 8 --patch 2 --task enhance --decoder UperNet3D --cin 2 --cout 2  # cmr
+  run scripts/bench_config.py --mixer hyena --h 256 --w 256 --t 64 --b 4 --window 8 --patch 2 --task class --decoder SwinLinear  # emb
+  run scripts/bench_config.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10  # abct
 fi
 
 if has abct; then
@@ -42,10 +42,10 @@ if has profile; then
   # VERDICT r3 #5: per-op tables for ALL six flagships
   run scripts/profile_step.py --mixer hyena --h 1024 --w 1024 --b 4 --window 4 --patch 2 --top 25          # ptx
   run scripts/profile_step.py --mixer mamba --h 1024 --w 1024 --b 4 --window 4 --patch 2 --task enhance --decoder UperNet2D --cout 1 --top 25  # micro
-  run scripts/profile_step.py --mixer mamba --h 1024 --w 1024 --b 4 --window 8 --patch 2 --task seg --decoder UperNet2D --cin 3 --cout 2 --remat --top 25  # vessel
-  run scripts/profile_step.py --mixer hyena --h 128 --w 128 --t 32 --b 16 --window 8 --patch 2 --task enhance --decoder UperNet3D --cin 2 --cout 2 --remat --top 25  # cmr
-  run scripts/profile_step.py --mixer hyena --h 256 --w 256 --t 64 --b 4 --window 8 --patch 2 --task class --decoder SwinLinear --remat --top 25  # emb
-  run scripts/profile_step.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10 --remat --top 25  # abct
+  run scripts/profile_step.py --mixer mamba --h 1024 --w 1024 --b 4 --window 8 --patch 2 --task seg --decoder UperNet2D --cin 3 --cout 2 --top 25  # vessel
+  run scripts/profile_step.py --mixer hyena --h 128 --w 128 --t 32 --b 16 --window 8 --patch 2 --task enhance --decoder UperNet3D --cin 2 --cout 2 --top 25  # cmr
+  run scripts/profile_step.py --mixer hyena --h 256 --w 256 --t 64 --b 4 --window 8 --patch 2 --task class --decoder SwinLinear --top 25  # emb
+  run scripts/profile_step.py --mixer mamba --h 256 --w 256 --t 64 --b 2 --window 4 --patch 2 --task seg --decoder UperNet3D --cout 10 --top 25  # abct
 fi
 
 if has vit; then

@@ -154,9 +154,13 @@ def test_swin_mixer_non_window_multiple_geometry(mixer):
     fall back to the per-block path (nn.LayerNorm 'norm1' in the block, vs
     the windowed path's 'norm1_scale')."""
     cfg = swin_cfg("SwinLinear", "class", mixer=mixer, h=24, w=24)
-    out, variables = init_and_forward(cfg)
-    assert out.shape == (2, 2)
-    assert np.isfinite(np.asarray(out)).all()
+    # the layout decision is visible in the parameter STRUCTURE (windowed
+    # stage = in-kernel pre-LN 'norm1_scale'; per-block = nn.LayerNorm
+    # 'norm1'), so eval_shape suffices — no interpret-mode forward needed
+    model = build_model(cfg)
+    x = jnp.zeros((2, cfg.time, cfg.height, cfg.width, 1), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, deterministic=True))
     p = variables["params"]["encoder"]
     assert "norm1_scale" in p["layer_0"]["block_0"]          # 12 % 4 == 0
     assert "norm1" in p["layer_1"]["block_0"]                # 6 % 4 != 0
@@ -185,6 +189,7 @@ def test_identity_passthrough():
     assert out.shape == (2, 1, 8, 8, 2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mixer", ["hyena", "mamba"])
 def test_swin_lane_padded_stage_matches_default(mixer, monkeypatch):
     """LCBI_LANE_PAD=1 routes the windowed stages through the lane-padded

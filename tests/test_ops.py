@@ -500,7 +500,33 @@ def test_hyena_window_chunked_parity(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
 
-    # ln variant: x + mixer(LN(x)) fused
+
+@pytest.mark.slow
+def test_hyena_window_chunked_ln_parity(rng):
+    """ln variant of the chunked kernel: x + mixer(LN(x)) fused == composed
+    (split out of the base parity test: the extra interpret-mode grad pair
+    costs ~20s on CPU)."""
+    from long_context_biomedical_imaging_tpu.ops.conv import depthwise_conv1d_cm
+    from long_context_biomedical_imaging_tpu.ops.fftconv import causal_long_conv_cm
+    from long_context_biomedical_imaging_tpu.ops.hyena_window import (
+        hyena_window_mixer)
+
+    BW, V, C, K = 5, 128, 16, 5
+
+    def mk(shape, scale=0.3):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((BW, V, C), 1.0)
+    args = (x, mk((C, 3 * C)), mk((3 * C,)), mk((3 * C, K)), mk((3 * C,)),
+            mk((C, V)), mk((C,)), mk((C, C)), mk((C,)))
+
+    def composed(x, w_in, b_in, w_short, b_short, k_long, b_long, w_out, b_out):
+        z = (x.reshape(-1, C) @ w_in + b_in).reshape(BW, V, 3 * C)
+        z = depthwise_conv1d_cm(z, w_short, b_short, padding="causal")
+        x1, x2, v = z[..., :C], z[..., C:2 * C], z[..., 2 * C:]
+        v = causal_long_conv_cm(v * x1, k_long, b_long) * x2
+        return (v.reshape(-1, C) @ w_out + b_out).reshape(BW, V, C)
+
     ln_s, ln_b = mk((C,), 1.0), mk((C,), 0.2)
 
     def composed_ln(x, ln_s, ln_b, *rest):

@@ -58,6 +58,7 @@ def setup():
     set_active_mesh(None)
 
 
+@pytest.mark.slow
 def test_sequence_parallel_matches_single_device(setup):
     model, optim, state, step, x, labels = setup
 
