@@ -43,6 +43,28 @@ def _trace_step_bytes(run_steps, n_steps: int) -> int:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _ptx_kernel_step_model(B: int, H: int, W: int):
+    """Analytic HBM I/O bytes and MXU FLOPs of the Pallas kernels in ONE ptx
+    train step (fwd+bwd). The profiler trace reports bytes_accessed=0 and
+    cost_analysis counts no FLOPs for custom calls, so without this term the
+    published hbm_util was an undercount of unknown size (VERDICT r3 weak #1).
+
+    Per Swin block the step runs two fused kernels (hyena mixer, LN-MLP),
+    each streaming the (N_s, C_s) bf16 stage tensor: 2 passes fwd (x in, out
+    out) + 3 passes bwd (x, do in; dx out). MXU FLOPs per block (BASELINE.md
+    r4 anatomy): mixer 8*N*C^2 fwd + 24 bwd; MLP (H=4C) 16*N*C^2 fwd + 40
+    bwd (recompute + 4 grad matmuls). Weight I/O is <1% and omitted."""
+    depths = (2, 2, 6, 2)
+    tokens0 = B * (H // 2) * (W // 2)
+    bytes_total, flops_total = 0.0, 0.0
+    for s, depth in enumerate(depths):
+        n = tokens0 // 4 ** s
+        c = 96 * 2 ** s
+        bytes_total += depth * 10 * n * c * 2          # 5 passes x 2 kernels
+        flops_total += depth * (32 + 56) * n * c * c
+    return bytes_total, flops_total
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -116,9 +138,12 @@ def main():
     utilization = (flops_per_step / dt) / (V5E_PEAK_FLOPS * n_chips) \
         if flops_per_step == flops_per_step else 0.0
 
-    # achieved HBM bandwidth (VERDICT r2 #9): trace-measured bytes/step over
-    # the measured step time; 0.0 if the backend exposes no op profile
-    bytes_per_step = _trace_step_bytes(run_chain, 3)
+    # achieved HBM bandwidth (VERDICT r2 #9, r3 weak #1): XLA-visible bytes
+    # from the trace PLUS the analytic in-kernel I/O of the Pallas kernels
+    # (invisible to bytes_accessed); kernel MXU FLOPs reported alongside.
+    xla_bytes = _trace_step_bytes(run_chain, 3)
+    k_bytes, k_flops = _ptx_kernel_step_model(B, H, W)
+    bytes_per_step = xla_bytes + int(k_bytes)
     hbm_util = (bytes_per_step / dt) / (V5E_PEAK_HBM_BPS * n_chips)
 
     print(json.dumps({
@@ -128,6 +153,9 @@ def main():
         "vs_baseline": round(utilization, 4),
         "hbm_util": round(hbm_util, 4),
         "bytes_per_step": bytes_per_step,
+        "xla_bytes_per_step": xla_bytes,
+        "kernel_bytes_per_step": int(k_bytes),
+        "kernel_mxu_tflops_per_s": round(k_flops / dt / 1e12, 1),
     }))
 
 

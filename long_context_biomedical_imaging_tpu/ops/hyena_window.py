@@ -49,9 +49,11 @@ from .fused_mlp import _ln_bwd, _ln_fwd
 
 HYENA_WINDOW_MAX_LEN = 64
 # chunk-blocked Toeplitz path (V > 64): chunk edge, V ceiling, channel ceiling
-# (the M/dM VMEM blocks scale with C*V*64 — C>192 stages keep the composed
-# Toeplitz-matmul path, which is fine: stage cost falls 4x per stage)
-HYENA_CHUNK = 64
+# (the M/dM VMEM blocks scale with C*V*chunk — C>192 stages keep the composed
+# Toeplitz-matmul path, which is fine: stage cost falls 4x per stage).
+# LCBI_HYENA_CHUNK overrides for sweeps (64 and 128 are the lowerable sizes).
+import os as _os
+HYENA_CHUNK = int(_os.environ.get("LCBI_HYENA_CHUNK", "64"))
 HYENA_CHUNKED_MAX_LEN = 512
 HYENA_CHUNKED_MAX_CHANNELS = 192
 

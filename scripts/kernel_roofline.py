@@ -299,6 +299,9 @@ CASES = {
     # cmr/emb 512-token windows (chunked Toeplitz path)
     "hyena_v512_cmr": (build_hyena, dict(BW=2048, V=512, C=96)),
     "hyena_v512_emb": (build_hyena, dict(BW=4096, V=512, C=96)),
+    # emb/cmr stage-1: C=192 chunked kernel — 57.3 ms/call bwd in the emb
+    # step profile, the single largest kernel cost in any flagship
+    "hyena_v512_s1": (build_hyena, dict(BW=512, V=512, C=192)),
     # micro/abct mamba stage shapes (V=16 / V=64)
     "mamba_s0_micro": (build_mamba, dict(BW=65536, V=16, C=96)),
     "mamba_s0_abct": (build_mamba, dict(BW=16384, V=64, C=96)),
