@@ -111,6 +111,14 @@ class TrainManager:
 
     def _put(self, images, labels, accum: bool = False):
         from ..parallel import put_global_batch
+        # Under AMP, upload images in bf16: the step casts its compute to
+        # bf16 anyway (the patchify matmul runs bf16xbf16 either way, like
+        # the reference's autocast), and halving the H2D bytes is worth
+        # 60-100 ms/step through this remote-TPU relay on a 1-CPU host
+        # (measured: fp32 feed 239-288 ms/step vs bf16 182 vs 181 bare
+        # step). Loss targets stay fp32 — the loss computes in fp32.
+        if self.config.use_amp and images.dtype == np.float32:
+            images = images.astype(jnp.bfloat16)
         return put_global_batch(self.mesh, images, labels, accum=accum)
 
     # -- main ------------------------------------------------------------------
@@ -195,6 +203,11 @@ class TrainManager:
         tail_steps: dict = {}
         loader = self._loader("train", shuffle=True)
         rng = jax.random.PRNGKey((cfg.seed or 0) + 1)
+        # Per-step RNG split must be a COMPILED call: eager jax ops through
+        # this environment's remote-TPU relay cost ~225 ms each (measured,
+        # round 4) vs 0.04 ms jitted — an eager split alone would serialize
+        # the host behind more than the whole 181 ms ptx step.
+        split2 = jax.jit(lambda k: tuple(jax.random.split(k)))
         # host-side step counter — int(state.step) would force a device sync
         # (expensive through remote-TPU relays) on every iteration
         host_step = int(state.step)
@@ -216,23 +229,45 @@ class TrainManager:
             1, int(cfg.get("stats_fetch_every") or 16))
         pending: list = []
 
-        def flush_stats():
-            if not pending:
-                return
-            if len(pending) == 1:
-                rows = [np.asarray(jax.device_get(pending[0][0])).reshape(-1)]
-            else:
-                stacked = jnp.stack([p[0].reshape(-1) for p in pending])
-                rows = list(np.asarray(jax.device_get(stacked)))
-            for row, (_, n, lr, epoch, step) in zip(rows, pending):
+        # stacking the buffered stats must also be compiled (eager
+        # reshape+stack of 16 tiny arrays measured 950 ms on this relay);
+        # one cached executable per distinct group size
+        stack_fns: dict = {}
+        # The fetch itself runs on a worker thread: a blocking device_get
+        # waits for the just-dispatched step plus the ~566 ms relay round
+        # trip (~47 ms/step amortized at K=16). One worker preserves metric
+        # order; exceptions (the NaN fail-fast) surface on the next dispatch
+        # or at the epoch-end drain.
+        from concurrent.futures import ThreadPoolExecutor
+        flusher = ThreadPoolExecutor(max_workers=1)
+        flush_futures: list = []
+
+        def process_rows(rows, meta):
+            for row, (n, lr, epoch, step) in zip(rows, meta):
                 if not np.isfinite(row[0]):
-                    pending.clear()
                     raise FloatingPointError(
                         f"non-finite loss at epoch {epoch} step {step}")
                 self.metrics.on_train_step_end_device(
                     row, self._train_metric_names, n=n,
                     rank=self.rank, curr_lr=lr)
-            pending.clear()
+
+        def flush_stats(wait: bool = False):
+            if pending:
+                meta = [p[1:] for p in pending]
+                if len(pending) == 1:
+                    stacked = pending[0][0]
+                else:
+                    k = len(pending)
+                    if k not in stack_fns:
+                        stack_fns[k] = jax.jit(
+                            lambda *xs: jnp.stack([x.reshape(-1) for x in xs]))
+                    stacked = stack_fns[k](*[p[0] for p in pending])
+                pending.clear()
+                flush_futures.append(flusher.submit(
+                    lambda s=stacked, m=meta: process_rows(
+                        np.asarray(jax.device_get(s)).reshape(len(m), -1), m)))
+            while flush_futures and (wait or flush_futures[0].done()):
+                flush_futures.pop(0).result()   # re-raises the NaN fail-fast
 
         def dispatch(step_fn, state, micros, group_valid, epoch, stacked):
             nonlocal rng, host_step
@@ -241,7 +276,7 @@ class TrainManager:
                 lb = np.stack([m[1] for m in micros])
             else:
                 im, lb = micros[0][0], micros[0][1]
-            rng, sub = jax.random.split(rng)
+            rng, sub = split2(rng)
             lr = self.optim.current_lr(host_step, epoch)
             im_d, lb_d = self._put(im, lb, accum=stacked)
             if jax.process_count() > 1:
@@ -293,7 +328,7 @@ class TrainManager:
                                  epoch, stacked=k > 1)
                 micros, group_valid = [], 0
 
-            flush_stats()   # epoch boundary: drain buffered stats + NaN check
+            flush_stats(wait=True)   # epoch boundary: drain stats + NaN check
             dt = time.perf_counter() - t0
             if timer.enabled:
                 self.file_logger.info("epoch %d %s", epoch, timer.summary())
@@ -316,6 +351,7 @@ class TrainManager:
             last_val = getattr(self, "_last_val_loss", None)
             self.optim.plateau_step(
                 last_val if last_val is not None else avg.get("loss", float("inf")))
+        flusher.shutdown(wait=False)
         return state
 
     def _eval_model(self, state: TrainState, split: str, epoch: int,
