@@ -53,9 +53,21 @@ HYENA_WINDOW_MAX_LEN = 64
 # Toeplitz-matmul path, which is fine: stage cost falls 4x per stage).
 # LCBI_HYENA_CHUNK overrides for sweeps (64 and 128 are the lowerable sizes).
 import os as _os
-HYENA_CHUNK = int(_os.environ.get("LCBI_HYENA_CHUNK", "64"))
+HYENA_CHUNK_MIN = 64
 HYENA_CHUNKED_MAX_LEN = 512
 HYENA_CHUNKED_MAX_CHANNELS = 192
+
+
+def _pick_chunk(V: int) -> int:
+    """Toeplitz block edge. 128 when V allows: the per-channel batched dots
+    then have a full-MXU-width (128) contraction AND output instead of the
+    64-wide half-MXU form — measured at the emb/cmr V=512 shapes (r4 sweep,
+    fwd+bwd): C=96 58.9 -> 43.4 ms, C=192 47.1 -> 36.9 ms, despite 11% more
+    FLOPs from the coarser causal banding."""
+    env = _os.environ.get("LCBI_HYENA_CHUNK")
+    if env:
+        return int(env)
+    return 128 if V % 128 == 0 else HYENA_CHUNK_MIN
 
 
 def _interpret() -> bool:
@@ -80,7 +92,7 @@ def hyena_window_supported(v: int, c: int | None = None) -> bool:
         return True
     if c is None:
         return False
-    return (v % HYENA_CHUNK == 0 and v <= HYENA_CHUNKED_MAX_LEN
+    return (v % HYENA_CHUNK_MIN == 0 and v <= HYENA_CHUNKED_MAX_LEN
             and c <= HYENA_CHUNKED_MAX_CHANNELS)
 
 
@@ -117,23 +129,27 @@ def _pick_bb(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
     return _cap_rows(bb, bw)
 
 
-def _pick_bb_chunked(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
+def _pick_bb_chunked(V: int, C: int, bwd: bool, chunk: int,
+                     bw: int = 1 << 30) -> int:
     """Rows per grid block for the chunked (V>64) kernels. The fp32 live set
     per row is ~16 (fwd) / ~30 (bwd) V*C token tiles (z/zc/dzc are 3C-wide,
     zpad is 6C-wide). The M (bf16 in) / dM (fp32 out) Toeplitz blocks are
-    bb-independent but NOT free: n*C*chunk^2 = C*V*chunk bytes each, 37.8MB
-    combined at C=192/V=512 — ignoring them pushed the bwd kernel's scoped
-    allocation to 109.8M (over the 100M cap) at bb=2 in some surrounding-HLO
-    contexts (the cmr/emb no-remat compiles, round 4). Subtracting the fixed
-    cost keeps C=96 at bb=4 (unchanged) and drops C=192 to bb=1. Env
-    overrides LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
+    bb-independent but NOT free: n*C*chunk^2 = C*V*chunk bytes each —
+    ignoring them pushed the bwd kernel's scoped allocation to 109.8M (over
+    the then-100M cap) at bb=2 in some surrounding-HLO contexts (the cmr/emb
+    no-remat compiles, round 4). The bwd budget is set from the r4 chip
+    sweep at V=512/chunk=128: bb=8 at C=96 (43.4 ms vs 58.9 at the old
+    bb=4/chunk=64) and bb=2 at C=192 (36.9 vs 47.1), whose scoped estimates
+    are 85M and 105M — under the 110M Mosaic cap with ~2MB of grid DMA
+    double-buffers outside the accounting. Env overrides
+    LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
     import os
     env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
     if env:
         return int(env)
-    fixed = C * V * HYENA_CHUNK * (2 + 4 if bwd else 2)
+    fixed = C * V * chunk * (6 if bwd else 2)
     per_row = V * C * 4 * (30 if bwd else 16)
-    budget = (56 if bwd else 48) * 1024 * 1024
+    budget = (105 if bwd else 48) * 1024 * 1024
     rows = max((budget - fixed) // per_row, 1)
     bb = 1
     while bb * 2 <= rows and bb < 64:
@@ -592,9 +608,9 @@ def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
     BW, V, cp = x.shape
     C = win.shape[1] // 3
     dt = x.dtype
-    chunk = HYENA_CHUNK
+    chunk = m.shape[-1]
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=False, bw=BW)
+    bb = _pick_bb_chunked(V, cp, bwd=False, chunk=chunk, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
@@ -742,9 +758,9 @@ def _bwd_impl_chunked(res, do, ln: bool):
     C = win.shape[1] // 3
     dt = x.dtype
     K = ws.shape[0]
-    chunk = HYENA_CHUNK
+    chunk = m.shape[-1]
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=True, bw=BW)
+    bb = _pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
@@ -884,7 +900,7 @@ def hyena_window_mixer(x, w_in, b_in, w_short, b_short, k_long, b_long,
     if V > HYENA_WINDOW_MAX_LEN:
         # block-Toeplitz operator in the matmul dtype (halves its VMEM
         # footprint under AMP; the kernel's dots run in x.dtype regardless)
-        m = _build_chunk_toeplitz(kl, HYENA_CHUNK).astype(x.dtype)
+        m = _build_chunk_toeplitz(kl, _pick_chunk(V)).astype(x.dtype)
         if ln_scale is not None:
             return _mixer_core_chunked_ln(
                 x, ln_scale.astype(jnp.float32)[None, :],
