@@ -1,15 +1,20 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric: train-step throughput (images/sec/chip, fwd+bwd+adam) on the
-flagship long-context workload at its FULL reference geometry: the ptx
-configuration — Swin-tiny patch-2 window-4 Hyena classification at 1024x1024
-(262,144 stage-0 tokens/image; ref: projects/run_ptx.sh), bf16 AMP, batch 4.
-(Round 1 benched this at half resolution; round 2 onward reports the real
-thing — BASELINE.md carries the per-round history for both geometries.)
+Headline metric (`value`): train-step throughput (images/sec/chip,
+fwd+bwd+adam) on the flagship long-context workload at its FULL reference
+geometry: the ptx configuration — Swin-tiny patch-2 window-4 Hyena
+classification at 1024x1024 (262,144 stage-0 tokens/image; ref:
+projects/run_ptx.sh), bf16 AMP, batch 4.
+
+Round 5 onward (VERDICT r4 missing #3): the line ALSO carries every flagship
+workload (`workloads` dict: ptx/micro/vessel/cmr/emb/abct at the exact
+reference geometries of projects/run_*.sh) and their geometric mean
+(`geomean_images_per_sec_chip`), so wins outside ptx are visible to the
+driver's BENCH_r*.json history.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 ratio reported is achieved model FLOPs / v5e peak (197 bf16 TFLOP/s) — i.e.
-MXU utilization, comparable across rounds and geometries.
+MXU utilization on the ptx step, comparable across rounds and geometries.
 
 Usage: python bench.py  (runs on the default backend — the real TPU chip).
 """
@@ -17,12 +22,39 @@ Usage: python bench.py  (runs on the default backend — the real TPU chip).
 from __future__ import annotations
 
 import json
+import math
 import shutil
 import tempfile
 import time
 
 V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_HBM_BPS = 819e9
+
+# The six reference workloads at full geometry (SURVEY.md §2.5; batch sizes
+# from BASELINE.md measurement history; remat dropped in r4 — faster AND fits).
+WORKLOADS = {
+    # name: (encoder argv, task, loss, H, W, T, Cin, Cout, B)
+    "ptx": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+             "--Swin.window_size", "4", "--Swin.use_hyena=True"],
+            "class", "CrossEntropy", 1024, 1024, 1, 1, 2, 4, "SwinLinear"),
+    "micro": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+               "--Swin.window_size", "4", "--Swin.use_mamba=True"],
+              "enhance", "CombinationEnhance", 1024, 1024, 1, 1, 1, 4,
+              "UperNet2D"),
+    "vessel": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+                "--Swin.window_size", "8", "--Swin.use_mamba=True"],
+               "seg", "CrossEntropy", 1024, 1024, 1, 3, 2, 4, "UperNet2D"),
+    "cmr": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+             "--Swin.window_size", "8", "--Swin.use_hyena=True"],
+            "enhance", "CombinationEnhance", 128, 128, 32, 2, 1, 16,
+            "UperNet3D"),
+    "emb": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+             "--Swin.window_size", "8", "--Swin.use_hyena=True"],
+            "class", "CrossEntropy", 256, 256, 64, 1, 2, 4, "SwinLinear"),
+    "abct": (["--Swin.size=tiny", "--Swin.patch_size", "2",
+              "--Swin.window_size", "4", "--Swin.use_mamba=True"],
+             "seg", "CrossEntropy", 256, 256, 64, 1, 10, 2, "UperNet3D"),
+}
 
 
 def _trace_step_bytes(run_steps, n_steps: int) -> int:
@@ -65,13 +97,13 @@ def _ptx_kernel_step_model(B: int, H: int, W: int):
     return bytes_total, flops_total
 
 
-def main():
+def _build_step(name):
+    """Compile the full train step (fwd+bwd+adam, bf16 AMP, donated state)
+    for one flagship workload; returns (run_chain, B) where run_chain(n)
+    executes n chained steps ended by one scalar fetch and returns wall
+    seconds (delta-method timing: the axon relay breaks block_until_ready)."""
     import jax
     import jax.numpy as jnp
-
-    # persistent compile cache: repeat bench runs skip the multi-minute compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from long_context_biomedical_imaging_tpu.losses import get_loss_func
     from long_context_biomedical_imaging_tpu.models import build_model
@@ -80,83 +112,118 @@ def main():
     from long_context_biomedical_imaging_tpu.trainer import (create_train_state,
                                                              make_train_step)
 
-    H = W = 1024
-    B = 4
+    enc_argv, task, loss_name, H, W, T, Cin, Cout, B, dec = WORKLOADS[name]
     cfg = parse_config(argv=[
-        "--encoder_name=Swin", "--decoder_name=SwinLinear", "--task_type=class",
-        f"--height={H}", f"--width={W}", "--time=1",
-        "--no_in_channel=1", "--no_out_channel=2",
+        "--encoder_name=Swin", f"--decoder_name={dec}", f"--task_type={task}",
+        f"--height={H}", f"--width={W}", f"--time={T}",
+        f"--no_in_channel={Cin}", f"--no_out_channel={Cout}",
         f"--batch_size={B}", "--scheduler_type=OneCycleLR", "--use_amp",
-        "--Swin.size=tiny", "--Swin.patch_size", "2", "--Swin.window_size", "4",
-        "--Swin.use_hyena=True", "--Swin.use_mamba=False"])
+        *enc_argv])
     check_args(cfg)
 
     model = build_model(cfg)
-    x = jnp.zeros((B, 1, H, W, 1), jnp.float32)
+    x = jnp.zeros((B, T, H, W, Cin), jnp.float32)
+    if task == "class":
+        labels = jnp.zeros((B,), jnp.int32)
+    elif task == "seg":
+        labels = jnp.zeros((B, T, H, W), jnp.int32)
+    else:
+        labels = jnp.zeros((B, T, H, W, Cout), jnp.float32)
     init = jax.jit(model.init, static_argnames=("deterministic",))
     variables = init(jax.random.PRNGKey(0), x, deterministic=True)
     optim = OptimManager(cfg, num_train_samples=1000)
     state = create_train_state(model, variables, optim.transform)
-    step = jax.jit(make_train_step(model, get_loss_func("CrossEntropy"),
+    step = jax.jit(make_train_step(model, get_loss_func(loss_name),
                                    optim.transform, use_amp=True),
                    donate_argnums=(0,))
-    labels = jnp.zeros((B,), jnp.int32)
     rng = jax.random.PRNGKey(1)
-
-    # compile once; reuse the executable for the timed loop
     compiled = step.lower(state, x, labels, 1e-4, rng).compile()
-    # Model FLOPs for this geometry, pinned to XLA cost_analysis of the
+
+    holder = {"state": state}
+
+    def run_chain(n):
+        t0 = time.perf_counter()
+        s = holder["state"]
+        for _ in range(n):
+            s, loss, _ = compiled(s, x, labels, 1e-4, rng)
+        holder["state"] = s
+        float(loss)  # force materialization through the relay
+        return time.perf_counter() - t0
+
+    return run_chain, B
+
+
+def _time_workload(name, n_small=4, n_large=16):
+    run_chain, B = _build_step(name)
+    run_chain(1)  # warmup (compile already done; first dispatch primes relay)
+    t_small = run_chain(n_small)
+    t_large = run_chain(n_large)
+    dt = max((t_large - t_small) / (n_large - n_small), 1e-6)
+    return dt, B / dt, run_chain
+
+
+def main():
+    import jax
+
+    # persistent compile cache: repeat bench runs skip the multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    workloads = {}
+    ptx_chain = None
+    for name in WORKLOADS:
+        try:
+            dt, img_s, chain = _time_workload(
+                name, n_small=5 if name == "ptx" else 4,
+                n_large=25 if name == "ptx" else 16)
+            workloads[name] = {"ms_per_step": round(dt * 1e3, 1),
+                               "images_per_sec_chip": round(img_s, 3)}
+            if name == "ptx":
+                ptx_chain, ptx_dt = chain, dt
+        except Exception as e:  # one workload failing must not hide the rest
+            workloads[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    ok = [w["images_per_sec_chip"] for w in workloads.values()
+          if "images_per_sec_chip" in w]
+    geomean = math.exp(sum(math.log(v) for v in ok) / len(ok)) if ok else 0.0
+
+    n_chips = jax.local_device_count()
+    ptx = workloads.get("ptx", {})
+    ptx_img_s = ptx.get("images_per_sec_chip", 0.0)
+
+    # Model FLOPs for the ptx geometry, pinned to XLA cost_analysis of the
     # all-XLA round-1 graph (9.604e12): once ops move into Pallas kernels,
     # cost_analysis stops counting their FLOPs, so the live number would
     # silently deflate vs_baseline. A fixed model-FLOPs constant keeps the
     # utilization ratio comparable across rounds (in-kernel backward
     # recompute is uncounted either way — utilization is a lower bound).
     flops_per_step = 9.604e12
-
-    state, loss, _ = compiled(state, x, labels, 1e-4, rng)  # warmup
-    float(loss)
-
-    # Delta-method timing: this environment's remote-TPU relay makes
-    # block_until_ready unreliable and adds a fixed ~30ms latency per host
-    # fetch, so we time two chained-step runs of different lengths (each ended
-    # by one scalar fetch) and take the difference.
-    def run_chain(n):
-        nonlocal state
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, loss, _ = compiled(state, x, labels, 1e-4, rng)
-        float(loss)  # force materialization through the relay
-        return time.perf_counter() - t0
-
-    n_small, n_large = 5, 25
-    t_small = run_chain(n_small)
-    t_large = run_chain(n_large)
-    dt = max((t_large - t_small) / (n_large - n_small), 1e-6)
-
-    n_chips = jax.local_device_count()
-    images_per_sec_chip = B / dt / n_chips
-    utilization = (flops_per_step / dt) / (V5E_PEAK_FLOPS * n_chips) \
-        if flops_per_step == flops_per_step else 0.0
-
-    # achieved HBM bandwidth (VERDICT r2 #9, r3 weak #1): XLA-visible bytes
-    # from the trace PLUS the analytic in-kernel I/O of the Pallas kernels
-    # (invisible to bytes_accessed); kernel MXU FLOPs reported alongside.
-    xla_bytes = _trace_step_bytes(run_chain, 3)
-    k_bytes, k_flops = _ptx_kernel_step_model(B, H, W)
-    bytes_per_step = xla_bytes + int(k_bytes)
-    hbm_util = (bytes_per_step / dt) / (V5E_PEAK_HBM_BPS * n_chips)
-
-    print(json.dumps({
+    result = {
         "metric": "ptx_1024_swin_tiny_p2_w4_hyena_train_images_per_sec_chip",
-        "value": round(images_per_sec_chip, 3),
+        "value": ptx_img_s,
         "unit": "images/sec/chip",
-        "vs_baseline": round(utilization, 4),
-        "hbm_util": round(hbm_util, 4),
-        "bytes_per_step": bytes_per_step,
-        "xla_bytes_per_step": xla_bytes,
-        "kernel_bytes_per_step": int(k_bytes),
-        "kernel_mxu_tflops_per_s": round(k_flops / dt / 1e12, 1),
-    }))
+        "vs_baseline": 0.0,
+        "workloads": workloads,
+        "geomean_images_per_sec_chip": round(geomean, 3),
+    }
+    if ptx_chain is not None:
+        result["vs_baseline"] = round(
+            (flops_per_step / ptx_dt) / (V5E_PEAK_FLOPS * n_chips), 4)
+        # achieved HBM bandwidth (VERDICT r2 #9, r3 weak #1): XLA-visible
+        # bytes from the trace PLUS the analytic in-kernel I/O of the Pallas
+        # kernels (invisible to bytes_accessed); kernel MXU FLOPs alongside.
+        xla_bytes = _trace_step_bytes(ptx_chain, 3)
+        k_bytes, k_flops = _ptx_kernel_step_model(4, 1024, 1024)
+        bytes_per_step = xla_bytes + int(k_bytes)
+        result.update({
+            "hbm_util": round(
+                (bytes_per_step / ptx_dt) / (V5E_PEAK_HBM_BPS * n_chips), 4),
+            "bytes_per_step": bytes_per_step,
+            "xla_bytes_per_step": xla_bytes,
+            "kernel_bytes_per_step": int(k_bytes),
+            "kernel_mxu_tflops_per_s": round(k_flops / ptx_dt / 1e12, 1),
+        })
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -138,10 +138,12 @@ class _FusedConcatResizeConvBN(nn.Module):
             wi = jax.lax.slice_in_dim(kernel, ofs, ofs + ci, axis=rank)
             ofs += ci
             if tuple(b.shape[1:-1]) == tuple(target):
+                # no preferred_element_type: f32 accumulation of bf16 operands
+                # has no conv transpose rule (the cotangent arrives f32 against
+                # a bf16 kernel); TPU convs accumulate f32 internally anyway
                 t = jax.lax.conv_general_dilated(
                     b, wi.astype(b.dtype), (1,) * rank, pad,
-                    dimension_numbers=dn,
-                    preferred_element_type=jnp.float32)
+                    dimension_numbers=dn).astype(jnp.float32)
             else:
                 t = resize_conv(b, wi, None, target,
                                 align_corners=True).astype(jnp.float32)
