@@ -47,17 +47,22 @@ def sp_flash_attention(q, k, v, scale=None):
       (ops/ring_attention.py): q AND k/v shard; k/v chunks rotate around
       the ring via ppermute while each chip's flash kernel consumes them.
       Per-chip memory is O(L/n) for every tensor — the beyond-HBM path.
-    * L = ways*c + r with c >= 1 (the +1 cls-token attention-classification
+    * Lkv = ways*c + r with c >= 1 (the +1 cls-token attention-classification
       geometry, ref backbone_vit.py:369-370,384-386) -> **ring + tail**:
       the first ways*c kv tokens ring exactly as above; the r < ways
       remainder tokens replicate as a tiny tail chunk merged by the same
       blockwise-lse algebra (ops/ring_attention.ring_flash_attention_tail).
-      q pads to ways*(c+1) rows (junk pad rows are sliced off). Per-chip
+      q pads to a ways multiple (junk pad rows are sliced off). Per-chip
       memory stays O(L/n) — no O(L) gathered k/v.
-    * L < ways: the query shard is padded to divide, k/v replicate per chip
-      (XLA inserts the all-gather), and each chip runs flash over its query
-      shard against the full sequence; the gradient path psums the
+    * Lkv < ways: the query shard is padded to divide, k/v replicate per
+      chip (XLA inserts the all-gather), and each chip runs flash over its
+      query shard against the full sequence; the gradient path psums the
       per-shard dk/dv partials.
+
+    Lq and Lkv may differ: the ViT pads its residual stream to a ways
+    multiple for the cls-token geometry (so inter-block activations shard,
+    VERDICT r4 #6) while attention keys/values are sliced back to the real
+    token count — q then arrives ways-divisible with Lkv = Lq - pad.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -65,7 +70,8 @@ def sp_flash_attention(q, k, v, scale=None):
     mesh = active_mesh()
     ways = int(mesh.shape["model"])
     dp = int(mesh.shape["data"])
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
     if scale is None:
         scale = d ** -0.5
     # batch stays sharded over 'data' (the trainer guarantees divisibility);
@@ -73,47 +79,49 @@ def sp_flash_attention(q, k, v, scale=None):
     bspec = "data" if b % dp == 0 else None
     tok = P(bspec, None, "model", None)
 
-    if l % ways == 0:
+    if lq % ways == 0 and lkv % ways == 0:
         from .flash_attention import BLOCK_K, BLOCK_Q
         from .ring_attention import ring_flash_attention
 
         def local(qq, kk, vv):
-            bl, lq = qq.shape[0], qq.shape[2]
+            bl, lqs, lks = qq.shape[0], qq.shape[2], kk.shape[2]
             out = ring_flash_attention(
-                qq.reshape(bl * h, lq, d), kk.reshape(bl * h, lq, d),
-                vv.reshape(bl * h, lq, d), float(scale), ways, "model",
+                qq.reshape(bl * h, lqs, d), kk.reshape(bl * h, lks, d),
+                vv.reshape(bl * h, lks, d), float(scale), ways, "model",
                 BLOCK_Q, BLOCK_K)
-            return out.reshape(bl, h, lq, d)
+            return out.reshape(bl, h, lqs, d)
 
         f = jax.shard_map(local, mesh=mesh, in_specs=(tok,) * 3,
                           out_specs=tok, check_vma=False)
         return f(q, k, v)
 
-    c, r = divmod(l, ways)
+    c, r = divmod(lkv, ways)
     if c >= 1:
         from .flash_attention import BLOCK_K, BLOCK_Q
         from .ring_attention import ring_flash_attention_tail
 
-        lq_pad = ways * (c + 1)
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - l), (0, 0)))
+        lq_pad = ways * (-(-lq // ways))
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, 0))) \
+            if lq_pad != lq else q
         k_ring, k_tail = k[:, :, :ways * c], k[:, :, ways * c:]
         v_ring, v_tail = v[:, :, :ways * c], v[:, :, ways * c:]
 
         def local(qq, kk, vv, kt, vt):
-            bl, lq, lkv = qq.shape[0], qq.shape[2], kk.shape[2]
+            bl, lqs, lks = qq.shape[0], qq.shape[2], kk.shape[2]
             out = ring_flash_attention_tail(
-                qq.reshape(bl * h, lq, d), kk.reshape(bl * h, lkv, d),
-                vv.reshape(bl * h, lkv, d), kt.reshape(bl * h, r, d),
+                qq.reshape(bl * h, lqs, d), kk.reshape(bl * h, lks, d),
+                vv.reshape(bl * h, lks, d), kt.reshape(bl * h, r, d),
                 vt.reshape(bl * h, r, d), float(scale), ways, "model",
                 BLOCK_Q, BLOCK_K)
-            return out.reshape(bl, h, lq, d)
+            return out.reshape(bl, h, lqs, d)
 
         f = jax.shard_map(local, mesh=mesh,
                           in_specs=(tok, tok, tok, P(bspec), P(bspec)),
                           out_specs=tok, check_vma=False)
-        return f(qp, k_ring, v_ring, k_tail, v_tail)[:, :, :l]
+        out = f(qp, k_ring, v_ring, k_tail, v_tail)
+        return out[:, :, :lq] if lq_pad != lq else out
 
-    pad = (-l) % ways
+    pad = (-lq) % ways
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
@@ -125,7 +133,7 @@ def sp_flash_attention(q, k, v, scale=None):
         check_vma=False,  # custom_vjp inside; varying-axes checking rejects it
     )
     out = f(q, k, v)
-    return out[:, :, :l] if pad else out
+    return out[:, :, :lq] if pad else out
 
 
 def multi_head_attention(q, k, v, bias=None, scale=None, use_flash: str = "auto"):

@@ -129,26 +129,31 @@ def _pick_bb(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
     return _cap_rows(bb, bw)
 
 
-def _pick_bb_chunked(V: int, C: int, bwd: bool, chunk: int,
-                     bw: int = 1 << 30) -> int:
+def _pick_bb_chunked(V: int, cp: int, bwd: bool, chunk: int,
+                     bw: int = 1 << 30, C: int | None = None) -> int:
     """Rows per grid block for the chunked (V>64) kernels. The fp32 live set
-    per row is ~16 (fwd) / ~30 (bwd) V*C token tiles (z/zc/dzc are 3C-wide,
-    zpad is 6C-wide). The M (bf16 in) / dM (fp32 out) Toeplitz blocks are
-    bb-independent but NOT free: n*C*chunk^2 = C*V*chunk bytes each —
-    ignoring them pushed the bwd kernel's scoped allocation to 109.8M (over
-    the then-100M cap) at bb=2 in some surrounding-HLO contexts (the cmr/emb
-    no-remat compiles, round 4). The bwd budget is set from the r4 chip
-    sweep at V=512/chunk=128: bb=8 at C=96 (43.4 ms vs 58.9 at the old
-    bb=4/chunk=64) and bb=2 at C=192 (36.9 vs 47.1), whose scoped estimates
-    are 85M and 105M — under the 110M Mosaic cap with ~2MB of grid DMA
+    per row is ~16 (fwd) / ~30 (bwd) V*cp token tiles (z/zc/dzc are 3C-wide,
+    zpad is 6C-wide; cp is the lane-padded stream width). The M (bf16 in) /
+    dM (fp32 out) Toeplitz blocks are bb-independent but NOT free:
+    n*C*chunk^2 = C*V*chunk bytes each, scaling with the REAL channel count
+    C, not cp — the r5 anatomy caught the fixed term being charged at cp
+    (12.6 MB overestimate at C=96/cp=128), which silently dropped the picked
+    bb from 8 to 4 and left the shipped emb/cmr backward ~30% off the r4
+    sweep's bb=8 result (57.3 vs 43.4 ms at the emb stage-0 shape). Ignoring
+    the fixed term entirely is also wrong: it pushed the bwd kernel's scoped
+    allocation to 109.8M (over the then-100M cap) at bb=2 in some
+    surrounding-HLO contexts (the cmr/emb no-remat compiles, round 4). The
+    bwd budget is set from the r4 chip sweep at V=512/chunk=128: bb=8 at
+    C=96 (43.4 ms vs 58.9 at the old bb=4/chunk=64) and bb=2 at C=192 (36.9
+    vs 47.1) — under the 110M Mosaic cap with ~2MB of grid DMA
     double-buffers outside the accounting. Env overrides
     LCBI_HYENA_BB[_BWD] apply here too (sweeps)."""
     import os
     env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
     if env:
         return int(env)
-    fixed = C * V * chunk * (6 if bwd else 2)
-    per_row = V * C * 4 * (30 if bwd else 16)
+    fixed = (C or cp) * V * chunk * (6 if bwd else 2)
+    per_row = V * cp * 4 * (30 if bwd else 16)
     budget = (105 if bwd else 48) * 1024 * 1024
     rows = max((budget - fixed) // per_row, 1)
     bb = 1

@@ -3,8 +3,12 @@ variants with individual stages disabled (at the ptx stage-0 shape by
 default). The deltas tell us which in-kernel op holds the kernel off its
 roofline (the grid/block sweep already ruled out grid overhead).
 
-Usage: python scripts/bench_kernel_anatomy.py --op hyena|mlp
+Usage: python scripts/bench_kernel_anatomy.py --op hyena|hyena-bwd|mamba|mlp|flash|vpu
        [--bw 65536] [--v 16] [--c 96] [--bb 0]
+
+--op hyena-bwd defaults to the emb stage-0 shape (4096x512x96, lane-padded to
+128): the V=512 chunked Toeplitz backward is the largest measured kernel cost
+in any flagship (57.3 ms/call, 2 calls = 114.6 ms of emb's 365 ms r4 step).
 """
 import argparse
 import functools
@@ -293,6 +297,190 @@ def main():
                   f"(scale {np.abs(da).max():.1f})")
         except Exception as e:
             print(f"  check FAILED: {str(e)[:120]}")
+
+    elif a.op == "hyena-bwd":
+        # Stage-knockout anatomy of the chunked (V>64) hyena BACKWARD kernel
+        # (ops/hyena_window.py:_make_bwd_kernel_chunked) at the emb stage-0
+        # shape. Each variant keeps the same scratch set (same VMEM pressure,
+        # same bb) and knocks out one stage; deltas attribute the 57.3 ms.
+        from long_context_biomedical_imaging_tpu.ops import hyena_window as Hy
+        BW = a.bw if a.bw != 65536 else 4096
+        V = a.v if a.v != 16 else 512
+        C = a.c
+        cp = 128 if C <= 128 else 256           # stage pipeline lane pad
+        K = 5
+        chunk = Hy._pick_chunk(V)
+        n = V // chunk
+        bb = a.bb or Hy._pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW)
+        dt = jnp.bfloat16
+
+        x = jax.random.normal(rng, (BW, V, cp), dt) * \
+            (jnp.arange(cp) < C).astype(dt)
+        do = jax.random.normal(jax.random.PRNGKey(9), (BW, V, cp), dt) * \
+            (jnp.arange(cp) < C).astype(dt)
+        win = (jax.random.normal(rng, (cp, 3 * C), dt) * 0.05) * \
+            (jnp.arange(cp) < C).astype(dt)[:, None]
+        bin_ = jnp.zeros((1, 3 * C), jnp.float32)
+        ws = jax.random.normal(rng, (K, 3 * C), jnp.float32) * 0.1
+        bs = jnp.zeros((1, 3 * C), jnp.float32)
+        kl = jax.random.normal(rng, (V, C), jnp.float32) * 0.05
+        m = Hy._build_chunk_toeplitz(kl, chunk).astype(dt)
+        wo = jax.random.normal(rng, (C, cp), dt) * 0.05
+        bo = jnp.zeros((1, cp), jnp.float32)
+
+        def make(variant):
+            def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, m_ref,
+                       wo_ref, do_ref, dx_ref, dwin_ref, dbin_ref, dws_ref,
+                       dbs_ref, dm_ref, dwo_ref, dbo_ref,
+                       zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr):
+                i = pl.program_id(0)
+
+                @pl.when(i == 0)
+                def _init():
+                    dwin_ref[...] = jnp.zeros_like(dwin_ref)
+                    dbin_ref[...] = jnp.zeros_like(dbin_ref)
+                    dws_ref[...] = jnp.zeros_like(dws_ref)
+                    dbs_ref[...] = jnp.zeros_like(dbs_ref)
+                    dm_ref[...] = jnp.zeros_like(dm_ref)
+                    dwo_ref[...] = jnp.zeros_like(dwo_ref)
+                    dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+                nb = x_ref.shape[0]
+                x32 = x_ref[...].astype(jnp.float32)
+                do32 = do_ref[...].astype(jnp.float32)
+                if variant == "copy":
+                    dx_ref[...] = (x32 + do32).astype(dx_ref.dtype)
+                    return
+                # ---- forward recompute ----
+                z = Hy._dot(x32.reshape(nb * V, cp), win_ref[...], dt)
+                z = z.reshape(nb, V, 3 * C) + bin_ref[0][None, None, :]
+                if variant == "re-inproj":
+                    dx_ref[...] = (z[..., :cp] + do32).astype(dx_ref.dtype)
+                    return
+                zc = Hy._causal_mac(zpad_scr, z, ws_ref[...], V) \
+                    + bs_ref[0][None, None, :]
+                x1 = zc[:, :, :C]
+                x2 = zc[:, :, C:2 * C]
+                v = zc[:, :, 2 * C:]
+                g = v * x1
+                if variant == "re-short":
+                    o = jnp.concatenate([g, x32[:, :, C:]], -1)
+                    dx_ref[...] = (o + do32).astype(dx_ref.dtype)
+                    return
+                if variant == "re-conv-nomm":   # transposes, no MXU conv
+                    Hy._transpose_chunks_in(g, gT_scr, nb, chunk, n, C)
+                    vlT_scr[...] = gT_scr[...]
+                else:
+                    Hy._chunk_long_conv(g, m_ref, gT_scr, vlT_scr, nb, C,
+                                        chunk, n, dt)
+                for q in range(n):
+                    tok_scr[:, q * chunk:(q + 1) * chunk, :] = \
+                        Hy._transpose_chunk_out(vlT_scr, q, nb, chunk, C)
+                vl = tok_scr[...]
+                if variant in ("re-conv", "re-conv-nomm"):
+                    o = jnp.concatenate([vl, x32[:, :, C:]], -1)
+                    dx_ref[...] = (o + do32).astype(dx_ref.dtype)
+                    return
+                v2 = vl * x2
+                # ---- backward chain ----
+                do2d = do32.reshape(nb * V, cp)
+                dwo_ref[...] += Hy._dot_tt(v2.reshape(nb * V, C), do2d, dt)
+                dbo_ref[...] += jnp.sum(do2d, axis=0, keepdims=True)
+                dv2 = Hy._dot_t(do2d, wo_ref[...], dt).reshape(nb, V, C)
+                if variant == "bw-outproj":
+                    o = jnp.concatenate([dv2, x32[:, :, C:]], -1)
+                    dx_ref[...] = o.astype(dx_ref.dtype)
+                    return
+                dvl = dv2 * x2
+                dx2 = dv2 * vl
+                if variant == "bw-noconvbwd":
+                    dg = dvl
+                else:
+                    Hy._transpose_chunks_in(dvl, dvlT_scr, nb, chunk, n, C)
+                    dgT_scr[...] = jnp.zeros_like(dgT_scr)
+                    for d in range(n):
+                        rows = (n - d) * nb
+                        if variant != "bw-nodm":
+                            dm_ref[d] += jax.lax.dot_general(
+                                gT_scr[:, :rows, :].astype(dt),
+                                dvlT_scr[:, d * nb:, :].astype(dt),
+                                (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+                        if variant != "bw-nodgt":
+                            dgT_scr[:, :rows, :] += jax.lax.dot_general(
+                                dvlT_scr[:, d * nb:, :].astype(dt),
+                                m_ref[d].astype(dt),
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+                    for q in range(n):
+                        tok_scr[:, q * chunk:(q + 1) * chunk, :] = \
+                            Hy._transpose_chunk_out(dgT_scr, q, nb, chunk, C)
+                    dg = tok_scr[...]
+                dv = dg * x1
+                dx1 = dg * v
+                dzc = jnp.concatenate([dx1, dx2, dv], axis=-1)
+                dbs_ref[...] += jnp.sum(dzc, axis=(0, 1))[None, :]
+                if variant != "bw-notapgrads":
+                    dws_ref[...] += Hy._tap_grads(zpad_scr, dzc, z, K, V)
+                dz = Hy._causal_mac_t(zpad_scr, dzc, ws_ref[...], V)
+                dz2d = dz.reshape(nb * V, 3 * C)
+                dbin_ref[...] += jnp.sum(dz2d, axis=0, keepdims=True)
+                if variant != "bw-noinw":
+                    dwin_ref[...] += Hy._dot_tt(x32.reshape(nb * V, cp),
+                                                dz2d, dt)
+                dy = Hy._dot_t(dz2d, win_ref[...], dt).reshape(nb, V, cp)
+                dx_ref[...] = dy.astype(dx_ref.dtype)
+
+            return kernel
+
+        def build(variant):
+            return jax.jit(lambda xx, dd: pl.pallas_call(
+                make(variant),
+                grid=(BW // bb,),
+                in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
+                + Hy._chunked_weight_specs(C, K, n, chunk, cp)
+                + [pl.BlockSpec((C, cp), lambda i: (0, 0)),
+                   pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))],
+                out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+                           pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
+                           pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+                           pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
+                           pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
+                           pl.BlockSpec((n, C, chunk, chunk),
+                                        lambda i: (0, 0, 0, 0)),
+                           pl.BlockSpec((C, cp), lambda i: (0, 0)),
+                           pl.BlockSpec((1, cp), lambda i: (0, 0))],
+                out_shape=[jax.ShapeDtypeStruct((BW, V, cp), xx.dtype),
+                           jax.ShapeDtypeStruct((cp, 3 * C), jnp.float32),
+                           jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+                           jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
+                           jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+                           jax.ShapeDtypeStruct((n, C, chunk, chunk),
+                                                jnp.float32),
+                           jax.ShapeDtypeStruct((C, cp), jnp.float32),
+                           jax.ShapeDtypeStruct((1, cp), jnp.float32)],
+                scratch_shapes=[
+                    pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
+                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
+                    pltpu.VMEM((bb, V, C), jnp.float32),
+                ],
+                compiler_params=Hy._compiler_params(),
+            )(xx, win, bin_, ws, bs, m, wo, dd)[0])
+
+        print(f"hyena chunked-bwd anatomy at ({BW},{V},{C}) cp={cp} "
+              f"chunk={chunk} n={n} bb={bb}:")
+        for variant in ("copy", "re-inproj", "re-short", "re-conv-nomm",
+                        "re-conv", "bw-outproj", "bw-noconvbwd", "bw-nodm",
+                        "bw-nodgt", "bw-notapgrads", "bw-noinw", "full"):
+            try:
+                f = build(variant)
+                ms = timeit(lambda: f(x, do))
+                print(f"  {variant:14s} {ms:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  {variant:14s} FAILED: {str(e)[:140]}", flush=True)
 
     elif a.op == "vpu":
         # VPU peak calibration: R compute passes per element on a VMEM-resident

@@ -143,12 +143,53 @@ def test_sp_flash_attention_matches_unsharded():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_sp_cls_token_residual_stream_shards():
+    """VERDICT r4 #6: the cls-token geometry (L = tokens+1) must PAD the
+    residual stream to a mesh-axis multiple so every inter-block activation
+    shards — no 'constraint skipped' warning (the r4 failure mode, visible
+    in MULTICHIP_r04.json for shape (8, 1025, 32)), and the compiled forward
+    must contain the ring's collective-permutes (attention ran sharded over
+    k/v chunks, not gathered)."""
+    import warnings as _w
+
+    cfg = parse_config(argv=[
+        "--encoder_name=ViT", "--decoder_name=ViTLinear", "--task_type=class",
+        "--height=128", "--width=128", "--time=1",
+        "--no_in_channel=1", "--no_out_channel=2",
+        "--batch_size=2", "--scheduler_type=OneCycleLR",
+        "--ViT.size=custom", "--ViT.patch_size", "4",
+        "--ViT.hidden_size=32", "--ViT.mlp_dim=64",
+        "--ViT.num_layers=2", "--ViT.num_heads=4"])
+    check_args(cfg)
+    model = build_model(cfg)  # 1024 patch tokens + cls = 1025 (flash regime)
+    x = jnp.zeros((2, 1, 128, 128, 1), jnp.float32)
+    set_active_mesh(None)
+    variables = jax.jit(model.init, static_argnames=("deterministic",))(
+        jax.random.PRNGKey(0), x, deterministic=True)
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    try:
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            compiled = jax.jit(
+                lambda v, xx: model.apply(v, xx, deterministic=True)[-1]
+            ).lower(variables, x).compile()
+        skipped = [w for w in caught
+                   if "sequence-parallel constraint" in str(w.message)]
+        assert not skipped, [str(w.message) for w in skipped]
+        hlo = compiled.as_text()
+        assert "collective-permute" in hlo, \
+            "ring attention collectives missing — stream likely replicated"
+    finally:
+        set_active_mesh(None)
+
+
 @pytest.mark.slow
 def test_sequence_parallel_vit_attention_train_step():
     """Full ViT-attention train step under SP (flash >= 1024 tokens, plus a
-    cls token so the residual stream is non-divisible and stays replicated
-    with a warning while attention itself shards): loss/update parity vs the
-    unsharded step."""
+    cls token): since r5 the residual stream pads to a mesh-axis multiple and
+    SHARDS (attention slices k/v back to the real 1025 tokens); loss/update
+    parity vs the unsharded step proves the pad rows never leak into real
+    outputs."""
     cfg = parse_config(argv=[
         "--encoder_name=ViT", "--decoder_name=ViTLinear", "--task_type=class",
         "--height=128", "--width=128", "--time=1",
