@@ -482,6 +482,244 @@ def main():
             except Exception as e:
                 print(f"  {variant:14s} FAILED: {str(e)[:140]}", flush=True)
 
+    elif a.op == "mamba":
+        # Stage-knockout anatomy of the fused MambaVision window mixer
+        # BACKWARD (ops/mamba_window.py:_make_bwd_kernel) at the micro
+        # stage-0 shape: the mixer bucket is 94.9 ms (41%) of the micro step
+        # and 88.5 ms (37%) of vessel (BASELINE.md r4 profiles) and has
+        # never had a binding-resource measurement (VERDICT r4 #3 / weak #2).
+        import math as _math
+        from long_context_biomedical_imaging_tpu.ops import mamba_window as Mw
+        BW = a.bw                        # 65536 default = micro s0
+        V = a.v                          # 16 default
+        C = a.c                          # 96 default
+        cp = 128 if C <= 128 else 256
+        N = 8                            # d_state (ref call sites)
+        Dh = C // 2
+        R = _math.ceil(C / 16)
+        Dc = Mw._pick_chunk(N, Dh)
+        n_j = -(-Dh // Dc)
+        nd = N * Dc
+        dt = jnp.bfloat16
+        bb = a.bb or Mw._pick_bb(V, cp, N, n_j, Dc, bwd=True)
+        _LOG2E = Mw._LOG2E
+
+        keep = (jnp.arange(cp) < C).astype(jnp.float32)
+        x = (jax.random.normal(rng, (BW, V, cp), jnp.float32) * keep).astype(dt)
+        do = (jax.random.normal(jax.random.PRNGKey(9), (BW, V, cp),
+                                jnp.float32) * keep).astype(dt)
+        wxz = (jax.random.normal(rng, (cp, C), jnp.float32) * 0.05
+               * keep[:, None]).astype(dt)
+        wconv = jax.random.normal(rng, (3, C), jnp.float32) * 0.3
+        wdbl = jax.random.normal(rng, (Dh, R + 2 * N), dt) * 0.1
+        wdt = jax.random.normal(rng, (R, Dh), dt) * 0.3
+        dtb2 = jnp.zeros((1, Dh), jnp.float32)
+        at = Mw._chunk_at(-jnp.abs(jax.random.normal(rng, (N, Dh))), Dc, n_j)
+        dskip = jnp.ones((1, Dh), jnp.float32)
+        wout = (jax.random.normal(rng, (C, cp), jnp.float32) * 0.05).astype(dt)
+        E, Fr = Mw._expand_reduce(N, Dc)
+        Fn = Mw._reduce_over_n(N, Dc)
+        _dot32 = Mw._make_dot32(dt)
+
+        def make(variant):
+            def kernel(x_ref, wxz_ref, wconv_ref, wdbl_ref, wdt_ref, dtb2_ref,
+                       at_ref, dskip_ref, wout_ref, e_ref, fn_ref, fr_ref,
+                       g_ref, dx_ref, dwxz_ref, dwconv_ref, dwdbl_ref,
+                       dwdt_ref, ddtb_ref, dat_ref, ddskip_ref, dwout_ref,
+                       pad_scr, x_scr, dtv_scr, y_scr, a_scr, h_scr, hp_scr,
+                       cg_scr, dxs_scr, ddt_scr, dB_scr, dC_scr):
+                i = pl.program_id(0)
+
+                @pl.when(i == 0)
+                def _init():
+                    dwxz_ref[...] = jnp.zeros_like(dwxz_ref)
+                    dwconv_ref[...] = jnp.zeros_like(dwconv_ref)
+                    dwdbl_ref[...] = jnp.zeros_like(dwdbl_ref)
+                    dwdt_ref[...] = jnp.zeros_like(dwdt_ref)
+                    ddtb_ref[...] = jnp.zeros_like(ddtb_ref)
+                    dat_ref[...] = jnp.zeros_like(dat_ref)
+                    ddskip_ref[...] = jnp.zeros_like(ddskip_ref)
+                    dwout_ref[...] = jnp.zeros_like(dwout_ref)
+
+                nb = x_ref.shape[0]
+                x32 = x_ref[...].astype(jnp.float32)
+                do32 = g_ref[...].astype(jnp.float32)
+                if variant == "copy":
+                    dx_ref[...] = (x32 + do32).astype(dx_ref.dtype)
+                    return
+                seq = variant not in ("noseq", "noseq-all")
+                xz, u, xv, z, dt_part, dtv, Bc, Cc = Mw._pre_scan(
+                    x32, wxz_ref[...], wconv_ref[...], wdbl_ref[...],
+                    wdt_ref[...], dtb2_ref[...], pad_scr, V, C, Dh, R, N, dt)
+                if variant == "pre":
+                    o = jnp.concatenate([dtv, z, x32[:, :, C:]], -1)
+                    dx_ref[...] = (o + do32).astype(dx_ref.dtype)
+                    return
+
+                Mw._fill_chunked(x_scr, xv, Dh)
+                Mw._fill_chunked(dtv_scr, dtv, Dh)
+                Bc2 = Bc.reshape(nb * V, N)
+                Cc2 = Cc.reshape(nb * V, N)
+                E_, Fn_, Fr_ = e_ref[...], fn_ref[...], fr_ref[...]
+
+                def chunk_fwd(jc):
+                    a2row = at_ref[jc, 0:1, :] * _LOG2E
+                    lo = jc * Dc
+                    d2 = jax.nn.softplus(
+                        dtv_scr[:, :, lo:lo + Dc].reshape(nb * V, Dc))
+                    x2 = x_scr[:, :, lo:lo + Dc].reshape(nb * V, Dc)
+                    d_rep2 = pltpu.repeat(d2, N, axis=1)
+                    a_scr[...] = jnp.exp2(d_rep2 * a2row).reshape(nb, V, nd)
+                    c2 = pltpu.repeat(d2 * x2, N, axis=1) * _dot32(Bc2, E_)
+                    cg_scr[...] = c2.reshape(nb, V, nd)
+                    if seq:
+                        h = jnp.zeros((nb, nd), jnp.float32)
+                        for t in range(V):
+                            h = a_scr[:, t, :] * h + cg_scr[:, t, :]
+                            h_scr[:, t, :] = h
+                    else:
+                        h_scr[...] = cg_scr[...]
+                    return d2, x2, d_rep2
+
+                for jc in range(n_j):
+                    chunk_fwd(jc)
+                    lo = jc * Dc
+                    H2 = h_scr[...].reshape(nb * V, nd)
+                    y2 = _dot32(H2 * _dot32(Cc2, E_), Fn_)
+                    y_scr[:, :, lo:lo + Dc] = y2.reshape(nb, V, Dc)
+
+                y = y_scr[:, :, :Dh] + xv * dskip_ref[0][None, None, :]
+                yz2 = jnp.concatenate([y, z], axis=-1).reshape(nb * V, C)
+                if variant == "fwd":
+                    o = jnp.concatenate([yz2.reshape(nb, V, C),
+                                         x32[:, :, C:]], -1)
+                    dx_ref[...] = (o + do32).astype(dx_ref.dtype)
+                    return
+                do2 = do32.reshape(nb * V, cp)
+                dwout_ref[...] += Mw._dot_tt(yz2, do2, dt)
+                dyz = Mw._dot_t(do2, wout_ref[...], dt).reshape(nb, V, C)
+                dy = dyz[:, :, :Dh]
+                dz = dyz[:, :, Dh:]
+                ddskip_ref[...] += jnp.sum(dy * xv, axis=(0, 1))[None, :]
+                Mw._fill_chunked(y_scr, dy, Dh)
+
+                dB_scr[...] = jnp.zeros_like(dB_scr)
+                dC_scr[...] = jnp.zeros_like(dC_scr)
+                if variant == "noscanbwd":
+                    dxs_scr[...] = y_scr[...]
+                    ddt_scr[...] = y_scr[...]
+                else:
+                    for jc in range(n_j):
+                        a_flat = at_ref[jc, 0:1, :]
+                        lo = jc * Dc
+                        d2, x2, d_rep2 = chunk_fwd(jc)
+                        raw2 = dtv_scr[:, :, lo:lo + Dc].reshape(nb * V, Dc)
+                        hp_scr[:, 0:1, :] = jnp.zeros((nb, 1, nd), jnp.float32)
+                        hp_scr[:, 1:, :] = h_scr[:, :V - 1, :]
+                        g2 = y_scr[:, :, lo:lo + Dc].reshape(nb * V, Dc)
+                        g_rep2 = pltpu.repeat(g2, N, axis=1)
+                        cg2 = _dot32(Cc2, E_) * g_rep2
+                        cg_scr[...] = cg2.reshape(nb, V, nd)
+                        if seq:
+                            dh = cg_scr[:, V - 1, :]
+                            for t in range(V - 2, -1, -1):
+                                dh = cg_scr[:, t, :] + a_scr[:, t + 1, :] * dh
+                                cg_scr[:, t, :] = dh
+                        H2 = h_scr[...].reshape(nb * V, nd)
+                        DH2 = cg_scr[...].reshape(nb * V, nd)
+                        HP2 = hp_scr[...].reshape(nb * V, nd)
+                        dC_scr[...] += _dot32(H2 * g_rep2, Fr_).reshape(nb, V, N)
+                        da_a = DH2 * HP2 * a_scr[...].reshape(nb * V, nd)
+                        dat_ref[jc, 0:1, :] += jnp.sum(da_a * d_rep2, axis=0,
+                                                       keepdims=True)
+                        red2 = _dot32(DH2 * _dot32(Bc2, E_), Fn_)
+                        dxs_scr[:, :, lo:lo + Dc] = (d2 * red2).reshape(nb, V, Dc)
+                        ddt2 = jax.nn.sigmoid(raw2) * (
+                            x2 * red2 + _dot32(da_a * a_flat, Fn_))
+                        ddt_scr[:, :, lo:lo + Dc] = ddt2.reshape(nb, V, Dc)
+                        dB_scr[...] += _dot32(
+                            DH2 * pltpu.repeat(d2 * x2, N, axis=1),
+                            Fr_).reshape(nb, V, N)
+
+                ddtv2 = ddt_scr[:, :, :Dh].reshape(nb * V, Dh)
+                ddtb_ref[...] += jnp.sum(ddtv2, axis=0, keepdims=True)
+                dwdt_ref[...] += Mw._dot_tt(dt_part.reshape(nb * V, R), ddtv2, dt)
+                ddt_part = Mw._dot_t(ddtv2, wdt_ref[...], dt).reshape(nb, V, R)
+                ddbl = jnp.concatenate([ddt_part, dB_scr[...], dC_scr[...]],
+                                       axis=-1)
+                ddbl2 = ddbl.reshape(nb * V, R + 2 * N)
+                dwdbl_ref[...] += Mw._dot_tt(xv.reshape(nb * V, Dh), ddbl2, dt)
+                dx_total = dy * dskip_ref[0][None, None, :] \
+                    + dxs_scr[:, :, :Dh] \
+                    + Mw._dot_t(ddbl2, wdbl_ref[...], dt).reshape(nb, V, Dh)
+                ds = jnp.concatenate([dx_total, dz], axis=-1)
+                du_conv = ds * Mw._silu_grad(u)
+                dwconv_ref[...] += Mw._conv3_tap_grads(pad_scr, du_conv, V)
+                dxz = Mw._same_conv3(pad_scr, du_conv, wconv_ref[...], V,
+                                     transpose=True)
+                dxz2 = dxz.reshape(nb * V, C)
+                dwxz_ref[...] += Mw._dot_tt(x32.reshape(nb * V, cp), dxz2, dt)
+                dxin = Mw._dot_t(dxz2, wxz_ref[...], dt).reshape(nb, V, cp)
+                dx_ref[...] = dxin.astype(dx_ref.dtype)
+
+            return kernel
+
+        def build(variant):
+            return jax.jit(lambda xx, dd: pl.pallas_call(
+                make(variant),
+                grid=(BW // bb,),
+                in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
+                + Mw._weight_specs(C, Dh, R, N, nd, n_j, cp)
+                + [pl.BlockSpec((N, nd), lambda i: (0, 0)),
+                   pl.BlockSpec((nd, Dc), lambda i: (0, 0)),
+                   pl.BlockSpec((nd, N), lambda i: (0, 0)),
+                   pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))],
+                out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+                           pl.BlockSpec((cp, C), lambda i: (0, 0)),
+                           pl.BlockSpec((3, C), lambda i: (0, 0)),
+                           pl.BlockSpec((Dh, R + 2 * N), lambda i: (0, 0)),
+                           pl.BlockSpec((R, Dh), lambda i: (0, 0)),
+                           pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+                           pl.BlockSpec((n_j, 8, nd), lambda i: (0, 0, 0)),
+                           pl.BlockSpec((1, Dh), lambda i: (0, 0)),
+                           pl.BlockSpec((C, cp), lambda i: (0, 0))],
+                out_shape=[jax.ShapeDtypeStruct((BW, V, cp), xx.dtype),
+                           jax.ShapeDtypeStruct((cp, C), jnp.float32),
+                           jax.ShapeDtypeStruct((3, C), jnp.float32),
+                           jax.ShapeDtypeStruct((Dh, R + 2 * N), jnp.float32),
+                           jax.ShapeDtypeStruct((R, Dh), jnp.float32),
+                           jax.ShapeDtypeStruct((1, Dh), jnp.float32),
+                           jax.ShapeDtypeStruct((n_j, 8, nd), jnp.float32),
+                           jax.ShapeDtypeStruct((1, Dh), jnp.float32),
+                           jax.ShapeDtypeStruct((C, cp), jnp.float32)],
+                scratch_shapes=[
+                    pltpu.VMEM((bb, 2 * V, C), jnp.float32),
+                    pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+                    pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+                    pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+                    pltpu.VMEM((bb, V, nd), jnp.float32),
+                    pltpu.VMEM((bb, V, nd), jnp.float32),
+                    pltpu.VMEM((bb, V, nd), jnp.float32),
+                    pltpu.VMEM((bb, V, nd), jnp.float32),
+                    pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+                    pltpu.VMEM((bb, V, n_j * Dc), jnp.float32),
+                    pltpu.VMEM((bb, V, N), jnp.float32),
+                    pltpu.VMEM((bb, V, N), jnp.float32),
+                ],
+                compiler_params=Mw._compiler_params(),
+            )(xx, wxz, wconv, wdbl, wdt, dtb2, at, dskip, wout,
+              E, Fn, Fr, dd)[0])
+
+        print(f"mamba window-mixer bwd anatomy at ({BW},{V},{C}) cp={cp} "
+              f"N={N} R={R} Dc={Dc} n_j={n_j} bb={bb}:")
+        for variant in ("copy", "pre", "fwd", "noseq", "noscanbwd", "full"):
+            try:
+                f = build(variant)
+                ms = timeit(lambda: f(x, do))
+                print(f"  {variant:11s} {ms:7.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  {variant:11s} FAILED: {str(e)[:140]}", flush=True)
+
     elif a.op == "vpu":
         # VPU peak calibration: R compute passes per element on a VMEM-resident
         # fp32 tile, one DMA in/out per block. Slope vs R gives element-ops/s
