@@ -43,7 +43,15 @@ def main():
     ap.add_argument("--v", type=int, default=16)
     ap.add_argument("--c", type=int, default=96)
     ap.add_argument("--bb", type=int, default=0)
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant filter (any --op)")
     a = ap.parse_args()
+
+    def _sel(variants):
+        if not a.only:
+            return variants
+        keep = set(a.only.split(","))
+        return tuple(v for v in variants if v in keep)
 
     import jax
     import jax.numpy as jnp
@@ -278,10 +286,10 @@ def main():
             )(xx, win, bin_, ws, bs, kl, Wl, Wp, tm, wo, bo))
 
         print(f"hyena fwd anatomy at ({BW},{V},{C}), bb={bb}:")
-        for variant in ("copy", "inproj", "nolong", "long-noshift",
+        for variant in _sel(("copy", "inproj", "nolong", "long-noshift",
                         "long-rollonly", "long-tapmat", "long-shift-tapmat",
                         "long-bf16", "long-dge", "long-matmul128",
-                        "full"):
+                        "full")):
             try:
                 f = build(variant)
                 ms = timeit(lambda: f(x))
@@ -472,9 +480,10 @@ def main():
 
         print(f"hyena chunked-bwd anatomy at ({BW},{V},{C}) cp={cp} "
               f"chunk={chunk} n={n} bb={bb}:")
-        for variant in ("copy", "re-inproj", "re-short", "re-conv-nomm",
-                        "re-conv", "bw-outproj", "bw-noconvbwd", "bw-nodm",
-                        "bw-nodgt", "bw-notapgrads", "bw-noinw", "full"):
+        for variant in _sel(("copy", "re-inproj", "re-short", "re-conv-nomm",
+                             "re-conv", "bw-outproj", "bw-noconvbwd",
+                             "bw-nodm", "bw-nodgt", "bw-notapgrads",
+                             "bw-noinw", "full")):
             try:
                 f = build(variant)
                 ms = timeit(lambda: f(x, do))
@@ -712,7 +721,8 @@ def main():
 
         print(f"mamba window-mixer bwd anatomy at ({BW},{V},{C}) cp={cp} "
               f"N={N} R={R} Dc={Dc} n_j={n_j} bb={bb}:")
-        for variant in ("copy", "pre", "fwd", "noseq", "noscanbwd", "full"):
+        for variant in _sel(("copy", "pre", "fwd", "noseq", "noscanbwd",
+                             "full")):
             try:
                 f = build(variant)
                 ms = timeit(lambda: f(x, do))
@@ -926,10 +936,124 @@ def main():
             jitted = jax.jit(run)
             return lambda: jitted(q, k, v, do, lse, delta)[0]
 
+        def build_interleave():
+            """VERDICT r4 #9: two INDEPENDENT bq-row q chains per grid step.
+            If the bwd's residual gap is MXU pipeline fill/drain between the
+            5 serially-dependent matmuls, two dependency-free chains in one
+            kernel body let Mosaic overlap chain A's matmul k+1 with chain
+            B's matmul k — distinct from a single 2*bq matmul (which the r4
+            tile sweep already rejected: same serial depth, bigger tiles)."""
+            bq2 = 2 * bq
+
+            def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr):
+                ik = pl.program_id(1)
+                iq = pl.program_id(2)
+                n_k_ = pl.num_programs(1)
+                n_q_ = pl.num_programs(2)
+
+                @pl.when(iq == 0)
+                def _init_kv():
+                    dk_scr[:] = jnp.zeros_like(dk_scr)
+                    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+                kv = k_ref[0]
+                halves = []
+                for h_ in range(2):
+                    rows_h = slice(h_ * bq, (h_ + 1) * bq)
+                    qv = q_ref[0, rows_h, :].astype(jnp.float32) * scale2
+                    s = jax.lax.dot_general(
+                        qv.astype(kv.dtype), kv, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    p = jnp.exp2(s - lse_ref[0, rows_h, :])
+                    dp = jax.lax.dot_general(
+                        do_ref[0, rows_h, :], v_ref[0],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ds = p * (dp - delta_ref[0, rows_h, :])
+                    halves.append((rows_h, p, ds))
+                for rows_h, p, ds in halves:
+                    dv_scr[:] += jax.lax.dot_general(
+                        p.astype(do_ref.dtype), do_ref[0, rows_h, :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dk_scr[:] += jax.lax.dot_general(
+                        ds.astype(q_ref.dtype), q_ref[0, rows_h, :],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dq_c = jax.lax.dot_general(
+                        ds.astype(kv.dtype), kv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    rows = pl.dslice(iq * bq2 + (rows_h.start - halves[0][0].start), bq)
+
+                    @pl.when(ik == 0)
+                    def _dq_store():
+                        dq_scr[rows, :] = dq_c
+
+                    @pl.when(ik > 0)
+                    def _dq_accum():
+                        dq_scr[rows, :] += dq_c
+
+                    @pl.when(ik == n_k_ - 1)
+                    def _dq_flush():
+                        dq_ref[0, rows, :] = dq_scr[rows, :].astype(dq_ref.dtype)
+
+                @pl.when(iq == n_q_ - 1)
+                def _kv_flush():
+                    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+                    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+            gb2 = max(gb // 2, 1)
+
+            def run(q, k, v, do, lse, delta):
+                dq_parts, dk_acc, dv_acc = [], None, None
+                n_q2 = L // bq2
+                for g in range(-(-n_q2 // gb2)):
+                    q0 = g * gb2 * bq2
+                    rows = min(gb2, n_q2 - g * gb2) * bq2
+                    dqg, dkg, dvg = pl.pallas_call(
+                        kernel,
+                        grid=(bh, n_k, rows // bq2),
+                        in_specs=[
+                            pl.BlockSpec((1, bq2, d), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bq2, d), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bq2, 1), lambda b, ik, iq: (b, iq, 0)),
+                            pl.BlockSpec((1, bq2, 1), lambda b, ik, iq: (b, iq, 0)),
+                        ],
+                        out_specs=[
+                            pl.BlockSpec((1, rows, d), lambda b, ik, iq: (b, 0, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                            pl.BlockSpec((1, bk, d), lambda b, ik, iq: (b, ik, 0)),
+                        ],
+                        out_shape=[
+                            jax.ShapeDtypeStruct((bh, rows, d), q.dtype),
+                            jax.ShapeDtypeStruct((bh, L, d), jnp.float32),
+                            jax.ShapeDtypeStruct((bh, L, d), jnp.float32),
+                        ],
+                        scratch_shapes=[
+                            pltpu.VMEM((rows, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                            pltpu.VMEM((bk, d), jnp.float32),
+                        ],
+                        compiler_params=pltpu.CompilerParams(
+                            vmem_limit_bytes=100 * 1024 * 1024),
+                    )(q[:, q0:q0 + rows], k, v, do[:, q0:q0 + rows],
+                      lse[:, q0:q0 + rows], delta[:, q0:q0 + rows])
+                    dq_parts.append(dqg)
+                    dk_acc = dkg if dk_acc is None else dk_acc + dkg
+                    dv_acc = dvg if dv_acc is None else dv_acc + dvg
+                return jnp.concatenate(dq_parts, axis=1), dk_acc, dv_acc
+
+            jitted = jax.jit(run)
+            return lambda: jitted(q, k, v, do, lse, delta)[0]
+
         flops = 10.0 * L * L * d * bh
         print(f"flash fused-bwd anatomy at L={L} bh={bh} d={d} "
               f"blocks=({bq},{bk}) gb={gb}:")
-        for variant in ("matmuls", "nodsmul", "noexp", "onecast", "full"):
+        for variant in _sel(("matmuls", "nodsmul", "noexp", "onecast",
+                             "full")):
             try:
                 f = build(variant)
                 ms = timeit(f)
@@ -937,6 +1061,13 @@ def main():
                       f"{flops / (ms * 1e-3) / 1e12:6.1f} TF/s", flush=True)
             except Exception as e:
                 print(f"  {variant:10s} FAILED: {str(e)[:120]}", flush=True)
+        try:
+            f = build_interleave()
+            ms = timeit(f)
+            print(f"  interleave2 {ms:6.2f} ms  "
+                  f"{flops / (ms * 1e-3) / 1e12:6.1f} TF/s", flush=True)
+        except Exception as e:
+            print(f"  interleave2 FAILED: {str(e)[:120]}", flush=True)
 
     elif a.op == "mlp":
         from long_context_biomedical_imaging_tpu.ops import fused_mlp as M

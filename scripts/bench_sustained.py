@@ -1,4 +1,4 @@
-"""Sustained run.py training throughput at the ptx geometry (VERDICT r3 #4).
+"""Sustained run.py training throughput at flagship geometries.
 
 bench.py times the bare compiled step; the reference's production path runs
 DataLoader workers + per-step metrics around the hot loop
@@ -8,8 +8,12 @@ for the TPU rebuild: a REAL run.py epoch over synthetic on-disk .npy subjects
 reports samples/s from the trainer's own epoch line to compare against the
 bench.py number. Done-criterion: sustained >= 90% of bench.py.
 
-Usage: python scripts/bench_sustained.py [--subjects 128] [--epochs 3]
-       [--h 1024] [--w 1024] [--b 4] [--stats-every 16]
+Round 5 (VERDICT r4 #8): --workload emb/abct run the 3D flagships — 256x256x64
+multi-channel volumes (4/16 MB per sample fp32) that stress the single-CPU
+host and the H2D relay much harder than ptx's 2D images.
+
+Usage: python scripts/bench_sustained.py [--workload ptx|emb|abct]
+       [--subjects 128] [--epochs 3] [--stats-every 16]
 """
 import argparse
 import os
@@ -20,8 +24,19 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# name -> (H, W, T, Cin, Cout, batch, task, loss, encoder argv)
+WORKLOADS = {
+    "ptx": (1024, 1024, 1, 1, 2, 4, "class", None,
+            ["--Swin.window_size", "4", "--Swin.use_hyena=True"]),
+    "emb": (256, 256, 64, 1, 2, 4, "class", None,
+            ["--Swin.window_size", "8", "--Swin.use_hyena=True"]),
+    "abct": (256, 256, 64, 1, 10, 2, "seg", None,
+             ["--Swin.window_size", "4", "--Swin.use_mamba=True"]),
+}
 
-def make_dataset(root: str, n: int, h: int, w: int):
+
+def make_dataset(root: str, n: int, h: int, w: int, t: int, cout: int,
+                 task: str):
     import numpy as np
     os.makedirs(root, exist_ok=True)
     rows = ["SubjectID,Label"]
@@ -30,9 +45,16 @@ def make_dataset(root: str, n: int, h: int, w: int):
         sid = f"s{i:04d}"
         d = os.path.join(root, sid)
         os.makedirs(d, exist_ok=True)
+        shape = (h, w) if t == 1 else (h, w, t)
         # fp32 like the reference loader's source arrays
         np.save(os.path.join(d, f"{sid}_input.npy"),
-                rs.rand(h, w).astype(np.float32))
+                rs.rand(*shape).astype(np.float32))
+        if task == "seg":
+            np.save(os.path.join(d, f"{sid}_output.npy"),
+                    rs.randint(0, cout, size=shape).astype(np.float32))
+        elif task == "enhance":
+            np.save(os.path.join(d, f"{sid}_output.npy"),
+                    rs.rand(*shape).astype(np.float32))
         rows.append(f"{sid},{i % 2}")
     with open(os.path.join(root, "x_metadata.csv"), "w") as f:
         f.write("\n".join(rows))
@@ -40,44 +62,45 @@ def make_dataset(root: str, n: int, h: int, w: int):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="ptx", choices=sorted(WORKLOADS))
     ap.add_argument("--subjects", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--h", type=int, default=1024)
-    ap.add_argument("--w", type=int, default=1024)
-    ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--stats-every", type=int, default=16)
     ap.add_argument("--keep", action="store_true")
     a = ap.parse_args()
 
-    data = f"/tmp/lcbi_sustained_{a.h}x{a.w}"
+    h, w, t, cin, cout, b, task, loss, enc = WORKLOADS[a.workload]
+    data = f"/tmp/lcbi_sustained_{a.workload}"
     marker = os.path.join(data, f".n{a.subjects}")
     if not os.path.exists(marker):
         if os.path.exists(data):
             shutil.rmtree(data)
         print(f"writing {a.subjects} synthetic subjects to {data} ...",
               flush=True)
-        make_dataset(data, a.subjects, a.h, a.w)
+        make_dataset(data, a.subjects, h, w, t, cout, task)
         open(marker, "w").close()
 
+    decoder = {"class": "SwinLinear", "seg": "UperNet2D" if t == 1
+               else "UperNet3D", "enhance": "UperNet2D"}[task]
     logdir = "/tmp/lcbi_sustained_logs"
     if os.path.exists(logdir):
         shutil.rmtree(logdir)
-    # the ptx config (projects/run_ptx.sh geometry) with eval disabled so the
-    # measured epochs are pure training; 60/20/20 split leaves ~60% for train
+    # full reference geometry with eval disabled so the measured epochs are
+    # pure training; 60/20/20 split leaves ~60% for train
     cmd = [sys.executable, os.path.join(ROOT, "run.py"),
-           "--task_type=class", "--encoder_name=Swin",
-           "--decoder_name=SwinLinear", f"--data_dir={data}",
+           f"--task_type={task}", "--encoder_name=Swin",
+           f"--decoder_name={decoder}", f"--data_dir={data}",
            f"--log_dir={logdir}", "--run_name=sustained", "--override",
-           f"--height={a.h}", f"--width={a.w}", "--time=1",
-           "--no_in_channel=1", "--no_out_channel=2",
-           f"--batch_size={a.b}", f"--num_epochs={a.epochs}",
+           f"--height={h}", f"--width={w}", f"--time={t}",
+           f"--no_in_channel={cin}", f"--no_out_channel={cout}",
+           f"--batch_size={b}", f"--num_epochs={a.epochs}",
            "--scheduler_type=OneCycleLR", "--use_amp",
-           "--Swin.size=tiny", "--Swin.patch_size", "2",
-           "--Swin.window_size", "4", "--Swin.use_hyena=True",
+           "--Swin.size=tiny", "--Swin.patch_size", "2", *enc,
            f"--stats_fetch_every={a.stats_every}",
            "--eval_val_set=False", "--eval_test_set=False",
            "--eval_frequency=1000000",
-           "--affine_aug=True", "--brightness_aug=True", "--gaussian_blur_aug=True"]
+           "--affine_aug=True", "--brightness_aug=True",
+           "--gaussian_blur_aug=True"]
     print(" ".join(cmd), flush=True)
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
@@ -97,7 +120,7 @@ def main():
         print(f"epoch {ep}: {secs:.1f}s  {rate:.2f} samples/s{tag}")
     if len(rates) > 1:
         steady = max(r for ep, _, r in rates if ep > 0)
-        print(f"SUSTAINED: {steady:.2f} samples/s "
+        print(f"SUSTAINED {a.workload}: {steady:.2f} samples/s "
               f"(stats_fetch_every={a.stats_every})")
     if not a.keep and os.path.exists(logdir):
         shutil.rmtree(logdir)

@@ -14,8 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def build_step(a):
     import jax, jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not os.environ.get("LCBI_NO_COMPILE_CACHE"):
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from long_context_biomedical_imaging_tpu.losses import get_loss_func
     from long_context_biomedical_imaging_tpu.models import build_model
     from long_context_biomedical_imaging_tpu.optim import OptimManager
@@ -101,7 +102,15 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--keep-trace", default=None)
+    ap.add_argument("--dump-hlo", default=None,
+                    help="dir for --xla_dump_to (disables the persistent "
+                         "compile cache so the dump actually happens)")
     a = ap.parse_args()
+
+    if a.dump_hlo:
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            f" --xla_dump_to={a.dump_hlo} --xla_dump_hlo_as_text"
+        os.environ["LCBI_NO_COMPILE_CACHE"] = "1"
 
     import jax
     compiled, state, x, labels = build_step(a)
