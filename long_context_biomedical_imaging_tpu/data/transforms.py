@@ -36,7 +36,17 @@ def normalize_shape(image: np.ndarray, height: int, width: int, time: int,
     def resize_xy(img):
         if img.shape[0] == height and img.shape[1] == width:
             return img
-        out = cv2.resize(img, (width, height), interpolation=interp)
+        # cv2 5.x resize rejects >~128 trailing channels (matrix_wrap.cpp
+        # dims<=2 assert) — deep volumes (H, W, D*C) must go in chunks;
+        # per-channel bilinear results are independent, so this is exact
+        if img.ndim == 3 and img.shape[2] > 128:
+            parts = [cv2.resize(img[:, :, i:i + 128], (width, height),
+                                interpolation=interp)
+                     .reshape(height, width, -1)
+                     for i in range(0, img.shape[2], 128)]
+            out = np.concatenate(parts, axis=2)
+        else:
+            out = cv2.resize(img, (width, height), interpolation=interp)
         # cv2 drops trailing singleton channel axes: (H, W, 1) -> (H, W)
         return out.reshape((height, width) + img.shape[2:])
 

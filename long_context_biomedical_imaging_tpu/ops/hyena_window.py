@@ -74,6 +74,29 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _dm_mode() -> str:
+    """How the chunked backward produces the Toeplitz-block gradient dM and
+    the conv input gradient dgT (r5 anatomy, VERDICT r4 #1 — the per-lag
+    in-kernel matmuls are contraction/output-starved: dM contracts over only
+    (n-d)*bb <= 32 rows of the 128-deep MXU, dgT emits <= (n-d)*bb-row
+    outputs):
+      inkernel — per-lag matmuls accumulated in a VMEM dm_ref (r4 shipped)
+      wide     — ONE lag-stacked matmul each for dM and dgT (K or output
+                 dim = n*chunk = 512) via a shared (C, n*bb, n*chunk) scratch
+                 and a lag-stacked-transposed mt input (measured no better
+                 than per-lag: fill/drain was not the binding cost)
+      stream   — dM not computed in-kernel at all: the recomputed gT and
+                 dvlT stream to HBM and dM is a full-depth XLA contraction
+                 outside (K = BW*(n-d) rows instead of <= 32); dgT stays
+                 per-lag (no mt input / wide scratch — at C=192 those cost
+                 ~28 MB of scoped VMEM and blew the 110M cap)
+    Default picked by the r5 chip measurement at the emb stage-0 shape
+    (4096x512x96, bb=8): inkernel 31.5 ms, wide 30.7, stream 21.2 in-kernel
+    + 5.0 outside = -16% per call with exact (0.0000) dM agreement — see
+    BASELINE.md "chunked hyena backward ATTACK"."""
+    return _os.environ.get("LCBI_HYENA_DM_MODE", "stream")
+
+
 def _compiler_params():
     # unrolled shift-MAC temporaries blow the default 16MB scoped VMEM cap;
     # raise it (v5e has 128MB; 110MB leaves headroom for the grid DMA
@@ -130,7 +153,8 @@ def _pick_bb(V: int, C: int, bwd: bool, bw: int = 1 << 30) -> int:
 
 
 def _pick_bb_chunked(V: int, cp: int, bwd: bool, chunk: int,
-                     bw: int = 1 << 30, C: int | None = None) -> int:
+                     bw: int = 1 << 30, C: int | None = None,
+                     mode: str = "inkernel") -> int:
     """Rows per grid block for the chunked (V>64) kernels. The fp32 live set
     per row is ~16 (fwd) / ~30 (bwd) V*cp token tiles (z/zc/dzc are 3C-wide,
     zpad is 6C-wide; cp is the lane-padded stream width). The M (bf16 in) /
@@ -152,8 +176,15 @@ def _pick_bb_chunked(V: int, cp: int, bwd: bool, chunk: int,
     env = os.environ.get("LCBI_HYENA_BB_BWD" if bwd else "LCBI_HYENA_BB")
     if env:
         return int(env)
-    fixed = (C or cp) * V * chunk * (6 if bwd else 2)
+    # fixed bytes/element over n*C*chunk^2 elements: m in (dt=2 under AMP),
+    # + mt in (2, wide only) + dm out (fp32 4, unless streamed)
+    mult = 2 if not bwd else {"inkernel": 6, "wide": 8, "stream": 2}[mode]
+    fixed = (C or cp) * V * chunk * mult
     per_row = V * cp * 4 * (30 if bwd else 16)
+    if bwd and mode == "wide":
+        per_row += V * (C or cp) * 4          # (C, bb*n, n*chunk) wide scratch
+    if bwd and mode == "stream":
+        per_row += 2 * V * (C or cp) * 4      # gs/ds streamed out blocks
     budget = (105 if bwd else 48) * 1024 * 1024
     rows = max((budget - fixed) // per_row, 1)
     bb = 1
@@ -615,7 +646,7 @@ def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
     dt = x.dtype
     chunk = m.shape[-1]
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=False, chunk=chunk, bw=BW)
+    bb = _pick_bb_chunked(V, cp, bwd=False, chunk=chunk, bw=BW, C=C)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     grid = ((BW + pad) // bb,)
@@ -646,20 +677,35 @@ def _fwd_chunked(x, win, bin_, ws, bs, m, wo, bo, ln=None):
     return out[:BW]
 
 
-def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
+def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False,
+                             mode: str = "inkernel"):
     n = V // chunk
 
     def kernel(x_ref, *refs):
+        refs = list(refs)
         if ln:
-            (g_ref, bln_ref, win_ref, bin_ref, ws_ref, bs_ref, m_ref,
-             wo_ref, do_ref, dx_ref, dgln_ref, dbln_ref, dwin_ref, dbin_ref,
-             dws_ref, dbs_ref, dm_ref, dwo_ref, dbo_ref,
-             zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr) = refs
+            g_ref, bln_ref = refs[:2]
+            del refs[:2]
+        win_ref, bin_ref, ws_ref, bs_ref, m_ref = refs[:5]
+        del refs[:5]
+        mt_ref = refs.pop(0) if mode == "wide" else None
+        wo_ref, do_ref, dx_ref = refs[:3]
+        del refs[:3]
+        if ln:
+            dgln_ref, dbln_ref = refs[:2]
+            del refs[:2]
+        dwin_ref, dbin_ref, dws_ref, dbs_ref = refs[:4]
+        del refs[:4]
+        if mode == "stream":
+            gs_ref, ds_ref = refs[:2]
+            del refs[:2]
+            dm_ref = None
         else:
-            (win_ref, bin_ref, ws_ref, bs_ref, m_ref, wo_ref, do_ref,
-             dx_ref, dwin_ref, dbin_ref, dws_ref, dbs_ref, dm_ref,
-             dwo_ref, dbo_ref,
-             zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr) = refs
+            dm_ref = refs.pop(0)
+        dwo_ref, dbo_ref = refs[:2]
+        del refs[:2]
+        zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr = refs[:6]
+        wide_scr = refs[6] if mode == "wide" else None
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -671,7 +717,8 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
             dbin_ref[...] = jnp.zeros_like(dbin_ref)
             dws_ref[...] = jnp.zeros_like(dws_ref)
             dbs_ref[...] = jnp.zeros_like(dbs_ref)
-            dm_ref[...] = jnp.zeros_like(dm_ref)
+            if dm_ref is not None:
+                dm_ref[...] = jnp.zeros_like(dm_ref)
             dwo_ref[...] = jnp.zeros_like(dwo_ref)
             dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
@@ -709,20 +756,53 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False):
         dvl = dv2 * x2
         dx2 = dv2 * vl
         _transpose_chunks_in(dvl, dvlT_scr, bb, chunk, n, C)
-        dgT_scr[...] = jnp.zeros_like(dgT_scr)
-        for d in range(n):
-            rows = (n - d) * bb
-            # dM[d][c,j,r] = sum_rows gT[c,row,j] dvlT[c,row+d*bb,r]
-            dm_ref[d] += jax.lax.dot_general(
-                gT_scr[:, :rows, :].astype(dt),
-                dvlT_scr[:, d * bb:, :].astype(dt),
+        if mode == "wide":
+            # lag-stacked dvlT: wide[c, row, d*chunk+r] = dvlT[c, row+d*bb, r]
+            # (zeros past the causal band) — shared by the wide dM and wide
+            # dgT matmuls
+            wide_scr[...] = jnp.zeros_like(wide_scr)
+            for d in range(n):
+                rows = (n - d) * bb
+                wide_scr[:, :rows, d * chunk:(d + 1) * chunk] = \
+                    dvlT_scr[:, d * bb:, :]
+        if mode == "stream":
+            # dM leaves the kernel: stream the operands, contract outside at
+            # full depth (K = BW*(n-d) instead of <= n*bb)
+            gs_ref[0] = gT_scr[...].astype(gs_ref.dtype)
+            ds_ref[0] = dvlT_scr[...].astype(ds_ref.dtype)
+        elif mode == "wide":
+            # ONE matmul for all lags; K = n*bb but a single fill/drain
+            dmw = jax.lax.dot_general(
+                gT_scr[...].astype(dt), wide_scr[...].astype(dt),
                 (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            # dgT[c,row,j] += sum_r dvlT[c,row+d*bb,r] M[d][c,j,r]
-            dgT_scr[:, :rows, :] += jax.lax.dot_general(
-                dvlT_scr[:, d * bb:, :].astype(dt), m_ref[d].astype(dt),
-                (((2,), (2,)), ((0,), (0,))),
+            for d in range(n):
+                dm_ref[d] += dmw[:, :, d * chunk:(d + 1) * chunk]
+        else:
+            for d in range(n):
+                rows = (n - d) * bb
+                # dM[d][c,j,r] = sum_rows gT[c,row,j] dvlT[c,row+d*bb,r]
+                dm_ref[d] += jax.lax.dot_general(
+                    gT_scr[:, :rows, :].astype(dt),
+                    dvlT_scr[:, d * bb:, :].astype(dt),
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+        if mode == "wide":
+            # dgT = wide @ mt in ONE matmul: K = n*chunk = 512 (the per-lag
+            # form emits <= (n-d)*bb-row outputs per call)
+            dgT_scr[...] = jax.lax.dot_general(
+                wide_scr[...].astype(dt), mt_ref[...].astype(dt),
+                (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
+        else:
+            dgT_scr[...] = jnp.zeros_like(dgT_scr)
+            for d in range(n):
+                rows = (n - d) * bb
+                # dgT[c,row,j] += sum_r dvlT[c,row+d*bb,r] M[d][c,j,r]
+                dgT_scr[:, :rows, :] += jax.lax.dot_general(
+                    dvlT_scr[:, d * bb:, :].astype(dt), m_ref[d].astype(dt),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
         for q in range(n):
             tok_scr[:, q * chunk:(q + 1) * chunk, :] = \
                 _transpose_chunk_out(dgT_scr, q, bb, chunk, C)
@@ -765,11 +845,13 @@ def _bwd_impl_chunked(res, do, ln: bool):
     K = ws.shape[0]
     chunk = m.shape[-1]
     n = V // chunk
-    bb = _pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW)
+    mode = _dm_mode()
+    bb = _pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW, C=C, mode=mode)
     pad = (-BW) % bb
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
     dop = jnp.pad(do, ((0, pad), (0, 0), (0, 0))) if pad else do
-    grid = ((BW + pad) // bb,)
+    G = (BW + pad) // bb
+    grid = (G,)
 
     vec_c = pl.BlockSpec((1, cp), lambda i: (0, 0))
     ln_in_specs = [vec_c, vec_c] if ln else []
@@ -777,12 +859,32 @@ def _bwd_impl_chunked(res, do, ln: bool):
     ln_out_shapes = ([jax.ShapeDtypeStruct((1, cp), jnp.float32)] * 2
                      if ln else [])
 
+    if mode == "wide":
+        # lag-stacked transpose of the Toeplitz blocks for the wide dgT
+        # matmul: mt[c, d*chunk + r, j] = m[d][c, j, r]
+        mt_args = (jnp.moveaxis(m, 0, 1).swapaxes(-1, -2)
+                   .reshape(C, n * chunk, chunk),)
+        mt_specs = [pl.BlockSpec((C, n * chunk, chunk), lambda i: (0, 0, 0))]
+        wide_scr = [pltpu.VMEM((C, n * bb, n * chunk), jnp.float32)]
+    else:
+        mt_args, mt_specs, wide_scr = (), [], []
+
+    if mode == "stream":
+        mid_specs = [pl.BlockSpec((1, C, n * bb, chunk),
+                                  lambda i: (i, 0, 0, 0))] * 2
+        mid_shapes = [jax.ShapeDtypeStruct((G, C, n * bb, chunk), dt)] * 2
+    else:
+        mid_specs = [pl.BlockSpec((n, C, chunk, chunk),
+                                  lambda i: (0, 0, 0, 0))]
+        mid_shapes = [jax.ShapeDtypeStruct((n, C, chunk, chunk), jnp.float32)]
+
     outs = pl.pallas_call(
-        _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln=ln),
+        _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln=ln, mode=mode),
         grid=grid,
         in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
         + ln_in_specs
         + _chunked_weight_specs(C, K, n, chunk, cp)
+        + mt_specs
         + [
             pl.BlockSpec((C, cp), lambda i: (0, 0)),
             pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
@@ -794,7 +896,9 @@ def _bwd_impl_chunked(res, do, ln: bool):
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
-            pl.BlockSpec((n, C, chunk, chunk), lambda i: (0, 0, 0, 0)),
+        ]
+        + mid_specs
+        + [
             pl.BlockSpec((C, cp), lambda i: (0, 0)),
             pl.BlockSpec((1, cp), lambda i: (0, 0)),
         ],
@@ -805,7 +909,9 @@ def _bwd_impl_chunked(res, do, ln: bool):
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
-            jax.ShapeDtypeStruct((n, C, chunk, chunk), jnp.float32),
+        ]
+        + mid_shapes
+        + [
             jax.ShapeDtypeStruct((C, cp), jnp.float32),
             jax.ShapeDtypeStruct((1, cp), jnp.float32),
         ],
@@ -816,16 +922,30 @@ def _bwd_impl_chunked(res, do, ln: bool):
             pltpu.VMEM((C, n * bb, chunk), jnp.float32),
             pltpu.VMEM((C, n * bb, chunk), jnp.float32),
             pltpu.VMEM((bb, V, C), jnp.float32),
-        ],
+        ] + wide_scr,
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(xp, *(ln_args if ln else ()), win, bin_, ws, bs, m, wo, dop)
+    )(xp, *(ln_args if ln else ()), win, bin_, ws, bs, m, *mt_args, wo, dop)
 
     if ln:
-        dx, dgln, dbln, dwin, dbin, dws, dbs, dm, dwo, dbo = outs
+        dx, dgln, dbln, dwin, dbin, dws, dbs, *mid, dwo, dbo = outs
+    else:
+        dx, dwin, dbin, dws, dbs, *mid, dwo, dbo = outs
+    if mode == "stream":
+        gs, ds = mid
+        # full-depth dM outside the kernel: per lag d, contract the (grid,
+        # rows) axes jointly — K = BW*(n-d) rows on the MXU
+        dm = jnp.stack([
+            jax.lax.dot_general(
+                gs[:, :, :(n - d) * bb, :], ds[:, :, d * bb:, :],
+                (((0, 2), (0, 2)), ((1,), (1,))),
+                preferred_element_type=jnp.float32)
+            for d in range(n)])
+    else:
+        (dm,) = mid
+    if ln:
         return (dx[:BW], dgln, dbln, dwin.astype(win.dtype), dbin, dws, dbs,
                 dm.astype(m.dtype), dwo.astype(wo.dtype), dbo)
-    dx, dwin, dbin, dws, dbs, dm, dwo, dbo = outs
     return (dx[:BW], dwin.astype(win.dtype), dbin, dws, dbs,
             dm.astype(m.dtype), dwo.astype(wo.dtype), dbo)
 

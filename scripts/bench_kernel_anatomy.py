@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--bb", type=int, default=0)
     ap.add_argument("--only", default="",
                     help="comma-separated variant filter (any --op)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (interpret-mode smoke test; "
+                         "JAX_PLATFORMS alone is overridden by this "
+                         "environment's sitecustomize TPU plugin)")
     a = ap.parse_args()
 
     def _sel(variants):
@@ -54,12 +58,16 @@ def main():
         return tuple(v for v in variants if v in keep)
 
     import jax
+
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not a.cpu:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = jax.random.PRNGKey(0)
 
     if a.op == "hyena":
@@ -319,7 +327,8 @@ def main():
         K = 5
         chunk = Hy._pick_chunk(V)
         n = V // chunk
-        bb = a.bb or Hy._pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW)
+        bb = a.bb or Hy._pick_bb_chunked(V, cp, bwd=True, chunk=chunk, bw=BW,
+                                         C=C)
         dt = jnp.bfloat16
 
         x = jax.random.normal(rng, (BW, V, cp), dt) * \
@@ -333,14 +342,36 @@ def main():
         bs = jnp.zeros((1, 3 * C), jnp.float32)
         kl = jax.random.normal(rng, (V, C), jnp.float32) * 0.05
         m = Hy._build_chunk_toeplitz(kl, chunk).astype(dt)
+        # lag-stacked transpose for the wide dgT matmul:
+        # mt[c, d*chunk + r, j] = m[d][c, j, r]
+        mt = jnp.moveaxis(m, 0, 1).swapaxes(-1, -2).reshape(C, n * chunk,
+                                                            chunk)
         wo = jax.random.normal(rng, (C, cp), dt) * 0.05
         bo = jnp.zeros((1, cp), jnp.float32)
 
+        # r5 attack variants (VERDICT r4 #1): the per-lag dM matmuls contract
+        # over only (n-d)*bb <= 32 rows (<=25% of the 128-deep MXU) and the
+        # per-lag dgT matmuls have <=(n-d)*bb-row outputs.
+        #   wide-dgt : ONE (C,n*bb,n*chunk)@(C,n*chunk,chunk) matmul (K=512)
+        #   wide-dm  : ONE gT^T@(wide dvlT) matmul (amortizes fill/drain)
+        #   wide-both: both restructures (the wide scratch is shared)
+        #   stream-dm: no in-kernel dM at all — gT/dvlT stream to HBM bf16,
+        #              dM is a full-depth (K=BW*(n-d)) XLA contraction outside
+        WIDE = ("wide-dm", "wide-dgt", "wide-both")
+
         def make(variant):
+            stream = variant.startswith("stream")
+
             def kernel(x_ref, win_ref, bin_ref, ws_ref, bs_ref, m_ref,
-                       wo_ref, do_ref, dx_ref, dwin_ref, dbin_ref, dws_ref,
-                       dbs_ref, dm_ref, dwo_ref, dbo_ref,
-                       zpad_scr, gT_scr, vlT_scr, dvlT_scr, dgT_scr, tok_scr):
+                       mt_ref, wo_ref, do_ref, dx_ref, dwin_ref, dbin_ref,
+                       dws_ref, dbs_ref, *rest):
+                if stream:
+                    (gs_ref, ds_ref, dwo_ref, dbo_ref, zpad_scr, gT_scr,
+                     vlT_scr, dvlT_scr, dgT_scr, tok_scr, wide_scr) = rest
+                    dm_ref = None
+                else:
+                    (dm_ref, dwo_ref, dbo_ref, zpad_scr, gT_scr, vlT_scr,
+                     dvlT_scr, dgT_scr, tok_scr, wide_scr) = rest
                 i = pl.program_id(0)
 
                 @pl.when(i == 0)
@@ -349,7 +380,8 @@ def main():
                     dbin_ref[...] = jnp.zeros_like(dbin_ref)
                     dws_ref[...] = jnp.zeros_like(dws_ref)
                     dbs_ref[...] = jnp.zeros_like(dbs_ref)
-                    dm_ref[...] = jnp.zeros_like(dm_ref)
+                    if dm_ref is not None:
+                        dm_ref[...] = jnp.zeros_like(dm_ref)
                     dwo_ref[...] = jnp.zeros_like(dwo_ref)
                     dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
@@ -405,16 +437,45 @@ def main():
                     dg = dvl
                 else:
                     Hy._transpose_chunks_in(dvl, dvlT_scr, nb, chunk, n, C)
-                    dgT_scr[...] = jnp.zeros_like(dgT_scr)
-                    for d in range(n):
-                        rows = (n - d) * nb
-                        if variant != "bw-nodm":
+                    if variant in WIDE:
+                        # wide[c, row, d*chunk+r] = dvlT[c, row + d*nb, r]
+                        # (zero where the causal band ends)
+                        wide_scr[...] = jnp.zeros_like(wide_scr)
+                        for d in range(n):
+                            rows = (n - d) * nb
+                            wide_scr[:, :rows, d * chunk:(d + 1) * chunk] = \
+                                dvlT_scr[:, d * nb:, :]
+                    if stream:
+                        gs_ref[0] = gT_scr[...].astype(jnp.bfloat16)
+                        ds_ref[0] = dvlT_scr[...].astype(jnp.bfloat16)
+                    # ---- dM ----
+                    if variant in ("wide-dm", "wide-both"):
+                        dmw = jax.lax.dot_general(
+                            gT_scr[...].astype(dt), wide_scr[...].astype(dt),
+                            (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                        for d in range(n):
+                            dm_ref[d] += dmw[:, :, d * chunk:(d + 1) * chunk]
+                    elif variant != "bw-nodm" and not stream:
+                        for d in range(n):
+                            rows = (n - d) * nb
                             dm_ref[d] += jax.lax.dot_general(
                                 gT_scr[:, :rows, :].astype(dt),
                                 dvlT_scr[:, d * nb:, :].astype(dt),
                                 (((1,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-                        if variant != "bw-nodgt":
+                    # ---- dgT ----
+                    if variant in ("wide-dgt", "wide-both"):
+                        dgT_scr[...] = jax.lax.dot_general(
+                            wide_scr[...].astype(dt), mt_ref[...].astype(dt),
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                    elif variant == "bw-nodgt":
+                        dgT_scr[...] = jnp.zeros_like(dgT_scr)
+                    else:
+                        dgT_scr[...] = jnp.zeros_like(dgT_scr)
+                        for d in range(n):
+                            rows = (n - d) * nb
                             dgT_scr[:, :rows, :] += jax.lax.dot_general(
                                 dvlT_scr[:, d * nb:, :].astype(dt),
                                 m_ref[d].astype(dt),
@@ -441,55 +502,124 @@ def main():
 
             return kernel
 
-        def build(variant):
-            return jax.jit(lambda xx, dd: pl.pallas_call(
+        def build(variant, want="dx", use_bb=None):
+            # want: "dx" -> dx only; "mid" -> (dx, dm) or (dx, gs, ds)
+            vb = use_bb or bb
+            stream = variant.startswith("stream")
+            mid_specs = ([pl.BlockSpec((1, C, n * vb, chunk),
+                                       lambda i: (i, 0, 0, 0))] * 2
+                         if stream else
+                         [pl.BlockSpec((n, C, chunk, chunk),
+                                       lambda i: (0, 0, 0, 0))])
+            mid_shapes = ([jax.ShapeDtypeStruct(
+                (BW // vb, C, n * vb, chunk), jnp.bfloat16)] * 2
+                if stream else
+                [jax.ShapeDtypeStruct((n, C, chunk, chunk), jnp.float32)])
+            wide_shape = ((C, n * vb, n * chunk) if variant in WIDE
+                          else (1, 8, 128))
+            fn0 = (lambda xx, dd: pl.pallas_call(
                 make(variant),
-                grid=(BW // bb,),
-                in_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))]
+                grid=(BW // vb,),
+                in_specs=[pl.BlockSpec((vb, V, cp), lambda i: (i, 0, 0))]
                 + Hy._chunked_weight_specs(C, K, n, chunk, cp)
-                + [pl.BlockSpec((C, cp), lambda i: (0, 0)),
-                   pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0))],
-                out_specs=[pl.BlockSpec((bb, V, cp), lambda i: (i, 0, 0)),
+                + [pl.BlockSpec((C, n * chunk, chunk), lambda i: (0, 0, 0)),
+                   pl.BlockSpec((C, cp), lambda i: (0, 0)),
+                   pl.BlockSpec((vb, V, cp), lambda i: (i, 0, 0))],
+                out_specs=[pl.BlockSpec((vb, V, cp), lambda i: (i, 0, 0)),
                            pl.BlockSpec((cp, 3 * C), lambda i: (0, 0)),
                            pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
                            pl.BlockSpec((K, 3 * C), lambda i: (0, 0)),
-                           pl.BlockSpec((1, 3 * C), lambda i: (0, 0)),
-                           pl.BlockSpec((n, C, chunk, chunk),
-                                        lambda i: (0, 0, 0, 0)),
-                           pl.BlockSpec((C, cp), lambda i: (0, 0)),
-                           pl.BlockSpec((1, cp), lambda i: (0, 0))],
+                           pl.BlockSpec((1, 3 * C), lambda i: (0, 0))]
+                + mid_specs
+                + [pl.BlockSpec((C, cp), lambda i: (0, 0)),
+                   pl.BlockSpec((1, cp), lambda i: (0, 0))],
                 out_shape=[jax.ShapeDtypeStruct((BW, V, cp), xx.dtype),
                            jax.ShapeDtypeStruct((cp, 3 * C), jnp.float32),
                            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
                            jax.ShapeDtypeStruct((K, 3 * C), jnp.float32),
-                           jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
-                           jax.ShapeDtypeStruct((n, C, chunk, chunk),
-                                                jnp.float32),
-                           jax.ShapeDtypeStruct((C, cp), jnp.float32),
-                           jax.ShapeDtypeStruct((1, cp), jnp.float32)],
+                           jax.ShapeDtypeStruct((1, 3 * C), jnp.float32)]
+                + mid_shapes
+                + [jax.ShapeDtypeStruct((C, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cp), jnp.float32)],
                 scratch_shapes=[
-                    pltpu.VMEM((bb, 2 * V, 3 * C), jnp.float32),
-                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
-                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
-                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
-                    pltpu.VMEM((C, n * bb, chunk), jnp.float32),
-                    pltpu.VMEM((bb, V, C), jnp.float32),
+                    pltpu.VMEM((vb, 2 * V, 3 * C), jnp.float32),
+                    pltpu.VMEM((C, n * vb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * vb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * vb, chunk), jnp.float32),
+                    pltpu.VMEM((C, n * vb, chunk), jnp.float32),
+                    pltpu.VMEM((vb, V, C), jnp.float32),
+                    pltpu.VMEM(wide_shape, jnp.float32),
                 ],
+                interpret=Hy._interpret(),
                 compiler_params=Hy._compiler_params(),
-            )(xx, win, bin_, ws, bs, m, wo, dd)[0])
+            )(xx, win, bin_, ws, bs, m, mt, wo, dd))
+            if want == "dx":
+                return jax.jit(lambda xx, dd: fn0(xx, dd)[0])
+            if stream:
+                return jax.jit(lambda xx, dd: tuple(
+                    fn0(xx, dd)[i] for i in (0, 5, 6)))
+            return jax.jit(lambda xx, dd: tuple(
+                fn0(xx, dd)[i] for i in (0, 5)))
+
+        def dm_outside(gs, ds, vb):
+            # full-depth dM: contraction over (grid, rows) = BW*(n-d) rows
+            outs = []
+            for d in range(n):
+                rows = (n - d) * vb
+                outs.append(jax.lax.dot_general(
+                    gs[:, :, :rows, :], ds[:, :, d * vb:, :],
+                    (((0, 2), (0, 2)), ((1,), (1,))),
+                    preferred_element_type=jnp.float32))
+            return jnp.stack(outs)
 
         print(f"hyena chunked-bwd anatomy at ({BW},{V},{C}) cp={cp} "
               f"chunk={chunk} n={n} bb={bb}:")
         for variant in _sel(("copy", "re-inproj", "re-short", "re-conv-nomm",
                              "re-conv", "bw-outproj", "bw-noconvbwd",
                              "bw-nodm", "bw-nodgt", "bw-notapgrads",
-                             "bw-noinw", "full")):
+                             "bw-noinw", "full", "wide-dgt", "wide-dm",
+                             "wide-both", "stream-dm")):
             try:
                 f = build(variant)
                 ms = timeit(lambda: f(x, do))
                 print(f"  {variant:14s} {ms:7.2f} ms", flush=True)
             except Exception as e:
                 print(f"  {variant:14s} FAILED: {str(e)[:140]}", flush=True)
+
+        import numpy as np
+        if not a.only or "stream-dm" in a.only:
+            # the out-of-kernel einsum leg of stream-dm + bb sweep (dm_ref
+            # freed -> bigger blocks may fit)
+            for vb in sorted({bb, bb * 2, bb * 4}):
+                try:
+                    f3 = build("stream-dm", want="mid", use_bb=vb)
+                    ein = jax.jit(functools.partial(dm_outside, vb=vb))
+                    _, gs0, ds0 = f3(x, do)
+                    ms_k = timeit(lambda: f3(x, do)[0])
+                    ms_e = timeit(lambda: ein(gs0, ds0))
+                    ms_t = timeit(lambda: ein(*f3(x, do)[1:]))
+                    print(f"  stream-dm bb={vb}: kernel {ms_k:6.2f} "
+                          f"einsum {ms_e:5.2f} total {ms_t:6.2f} ms",
+                          flush=True)
+                except Exception as e:
+                    print(f"  stream-dm bb={vb} FAILED: {str(e)[:140]}",
+                          flush=True)
+
+        if not a.only:
+            # numeric check: wide/stream dM against the shipped form
+            dm_full = np.asarray(build("full", want="mid")(x, do)[1],
+                                 np.float32)
+            dm_v = np.asarray(build("wide-both", want="mid")(x, do)[1],
+                              np.float32)
+            err = np.abs(dm_v - dm_full).max()
+            print(f"  wide-both dM max|diff| {err:.4f} "
+                  f"(scale {np.abs(dm_full).max():.1f})")
+            _, gs0, ds0 = build("stream-dm", want="mid")(x, do)
+            dm_s = np.asarray(jax.jit(functools.partial(dm_outside, vb=bb))(
+                gs0, ds0), np.float32)
+            err = np.abs(dm_s - dm_full).max()
+            print(f"  stream-dm dM max|diff| {err:.4f} "
+                  f"(scale {np.abs(dm_full).max():.1f})")
 
     elif a.op == "mamba":
         # Stage-knockout anatomy of the fused MambaVision window mixer
