@@ -342,8 +342,9 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
                 h_scr[:, t, :] = h
             return d2, x2, d_rep2
 
+        fwd_vals = None
         for jc in range(n_j):
-            chunk_fwd(jc)
+            fwd_vals = chunk_fwd(jc)
             lo = jc * Dc
             H2 = h_scr[...].reshape(bb * V, nd)
             y2 = _dot32(H2 * _dot32(Cc2, E), Fn)
@@ -371,7 +372,17 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
         for jc in range(n_j):
             a_flat = at_ref[jc, 0:1, :]
             lo = jc * Dc
-            d2, x2, d_rep2 = chunk_fwd(jc)    # rebuild a_scr / h history
+            if n_j == 1:
+                # single chunk (Dh <= Dc — every C=96 stage-0): a_scr/h_scr
+                # still hold this chunk's scan from the y-rebuild loop above
+                # (nothing between writes them; cg_scr's stale c2 is
+                # overwritten before its first read below). Skipping the
+                # second chunk_fwd removes a full redundant forward-scan
+                # recompute — the r5 anatomy priced it at ~4 ms of the
+                # 17.5 ms kernel (micro stage-0, BASELINE.md).
+                d2, x2, d_rep2 = fwd_vals
+            else:
+                d2, x2, d_rep2 = chunk_fwd(jc)  # rebuild a_scr / h history
             raw2 = dtv_scr[:, :, lo:lo + Dc].reshape(bb * V, Dc)
             # h_{t-1} history (zeros at t=0)
             hp_scr[:, 0:1, :] = jnp.zeros((bb, 1, nd), jnp.float32)

@@ -720,8 +720,9 @@ def main():
                         h_scr[...] = cg_scr[...]
                     return d2, x2, d_rep2
 
+                fwd_vals = None
                 for jc in range(n_j):
-                    chunk_fwd(jc)
+                    fwd_vals = chunk_fwd(jc)
                     lo = jc * Dc
                     H2 = h_scr[...].reshape(nb * V, nd)
                     y2 = _dot32(H2 * _dot32(Cc2, E_), Fn_)
@@ -751,7 +752,13 @@ def main():
                     for jc in range(n_j):
                         a_flat = at_ref[jc, 0:1, :]
                         lo = jc * Dc
-                        d2, x2, d_rep2 = chunk_fwd(jc)
+                        if n_j == 1:
+                            # mirror of the shipped n_j==1 dedup (r5): the
+                            # scan scratches are still valid from the
+                            # y-rebuild loop
+                            d2, x2, d_rep2 = fwd_vals
+                        else:
+                            d2, x2, d_rep2 = chunk_fwd(jc)
                         raw2 = dtv_scr[:, :, lo:lo + Dc].reshape(nb * V, Dc)
                         hp_scr[:, 0:1, :] = jnp.zeros((nb, 1, nd), jnp.float32)
                         hp_scr[:, 1:, :] = h_scr[:, :V - 1, :]
