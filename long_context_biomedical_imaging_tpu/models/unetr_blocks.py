@@ -7,6 +7,7 @@ Channels-last (B, *spatial, C); spatial rank 2 or 3 is inferred from input.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Sequence
 
 import flax.linen as nn
@@ -71,6 +72,46 @@ class ConvNd(nn.Module):
                 use_bias=self.use_bias, kernel_init=torch_conv_kernel_init,
                 bias_init=bias_init)(x)
         pad = tuple(((kk - 1) // 2, kk // 2) for kk in k)
+        if (rank == 3 and k == (3, 3, 3) and s == (1, 1, 1)
+                and _os.environ.get("LCBI_CONV3D_ZDEC", "1") != "0"):
+            # depth-decomposed 3D conv: 3 depth-shifted 3x3 2D convs on the
+            # (B*D, H, W, C) layout. XLA's 5D conv (and especially its
+            # gradients) at the UperNet3D decoder shapes gets a batch-in-
+            # sublanes layout (T(2,128) at B=2 — 2 of 8 sublanes used; the
+            # abct fusion.3873/3874 grads ran at 15 GB/s / ~19% MXU, r5
+            # profile); the 4D form tiles (B*D) rows into full sublanes.
+            # Same params tree as the nn.Conv branch (Conv_0/{kernel,bias}).
+            cin = x.shape[-1]
+            feats = self.features
+
+            class _Params(nn.Module):
+                @nn.compact
+                def __call__(s_):
+                    kern = s_.param("kernel", torch_conv_kernel_init,
+                                    (*k, cin, feats))
+                    b = (s_.param("bias", bias_init, (feats,))
+                         if self.use_bias else None)
+                    return kern, b
+
+            kernel, bias = _Params(name="Conv_0")()
+            dt = jnp.promote_types(x.dtype, kernel.dtype)
+            xk = x.astype(dt)
+            kk_ = kernel.astype(dt)
+            B, D, H, W, _ = x.shape
+            xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            dn2 = jax.lax.conv_dimension_numbers(
+                (B * D, H, W, cin), (3, 3, cin, feats),
+                ("NHWC", "HWIO", "NHWC"))
+            y = None
+            for dz in range(3):
+                xs = xp[:, dz:dz + D].reshape(B * D, H, W, cin)
+                t = jax.lax.conv_general_dilated(
+                    xs, kk_[dz], (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=dn2).astype(jnp.float32)
+                y = t if y is None else y + t
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return y.astype(dt).reshape(B, D, H, W, feats)
         return nn.Conv(self.features, kernel_size=k, strides=s, padding=pad,
                        use_bias=self.use_bias, kernel_init=torch_conv_kernel_init,
                        bias_init=bias_init)(x)
