@@ -81,6 +81,10 @@ def make_train_step(model, loss_func: Callable, transform,
         return loss, (out32, mutated.get("batch_stats", batch_stats))
 
     def train_step(state: TrainState, images, labels, lr, rng, n_valid=None):
+        if jnp.issubdtype(labels.dtype, jnp.integer) \
+                and labels.dtype != jnp.int32:
+            # labels may arrive uint8 (H2D compression, trainer._put)
+            labels = labels.astype(jnp.int32)
         grad_fn = jax.value_and_grad(forward, has_aux=True)
 
         if accum > 1:
@@ -143,6 +147,9 @@ def make_eval_step(model, loss_func: Callable, use_amp: bool = False):
     """
 
     def eval_step(state: TrainState, images, labels, n_valid=None):
+        if jnp.issubdtype(labels.dtype, jnp.integer) \
+                and labels.dtype != jnp.int32:
+            labels = labels.astype(jnp.int32)   # uint8 H2D compression
         p = state.params
         x = images  # fp32; backbone casts post-patchify
         if use_amp:

@@ -119,6 +119,14 @@ class TrainManager:
         # step). Loss targets stay fp32 — the loss computes in fp32.
         if self.config.use_amp and images.dtype == np.float32:
             images = images.astype(jnp.bfloat16)
+        # Integer labels upload as uint8 when every class index fits: seg
+        # masks are int32 (B, T, H, W) — 33 MB/step for abct, 4x the useful
+        # bytes. H2D through this remote-TPU relay measured ~25 MB/s (r5,
+        # BASELINE.md sustained section), so label bytes are wall-clock. The
+        # step casts back to int32 on device (free — fused into the one-hot).
+        if (np.issubdtype(labels.dtype, np.integer)
+                and 0 < int(self.config.no_out_channel or 0) <= 255):
+            labels = labels.astype(np.uint8)
         return put_global_batch(self.mesh, images, labels, accum=accum)
 
     # -- main ------------------------------------------------------------------

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--stats-every", type=int, default=16)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--no-augs", dest="no_augs", action="store_true",
+                    help="disable the paired augmentations (isolates the "
+                         "loader/upload cost from the aug cost)")
     a = ap.parse_args()
 
     h, w, t, cin, cout, b, task, loss, enc = WORKLOADS[a.workload]
@@ -98,9 +101,10 @@ def main():
            "--Swin.size=tiny", "--Swin.patch_size", "2", *enc,
            f"--stats_fetch_every={a.stats_every}",
            "--eval_val_set=False", "--eval_test_set=False",
-           "--eval_frequency=1000000",
-           "--affine_aug=True", "--brightness_aug=True",
-           "--gaussian_blur_aug=True"]
+           "--eval_frequency=1000000"]
+    on = "False" if a.no_augs else "True"
+    cmd += [f"--affine_aug={on}", f"--brightness_aug={on}",
+            f"--gaussian_blur_aug={on}"]
     print(" ".join(cmd), flush=True)
     env = dict(os.environ)
     r = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True, text=True)
