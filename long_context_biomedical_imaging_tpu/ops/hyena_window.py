@@ -934,7 +934,11 @@ def _bwd_impl_chunked(res, do, ln: bool):
     if mode == "stream":
         gs, ds = mid
         # full-depth dM outside the kernel: per lag d, contract the (grid,
-        # rows) axes jointly — K = BW*(n-d) rows on the MXU
+        # rows) axes jointly — K = BW*(n-d) rows on the MXU. (A masked
+        # full-length variant — C-leading transpose + zero-padded shifted
+        # rhs, no row slices — measured WORSE in-step: emb 302.6 vs 281.9
+        # ms/step, the per-lag 402 MB pad materializations cost more than
+        # XLA's dot packing of the sliced operands.)
         dm = jnp.stack([
             jax.lax.dot_general(
                 gs[:, :, :(n - d) * bb, :], ds[:, :, d * bb:, :],
