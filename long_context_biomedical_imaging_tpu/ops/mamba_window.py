@@ -369,17 +369,17 @@ def _make_bwd_kernel(V, C, Dh, R, N, Dc, n_j, dt, ln: bool = False):
         # reverse recurrence ------------------------------------------------
         dB_scr[...] = jnp.zeros_like(dB_scr)
         dC_scr[...] = jnp.zeros_like(dC_scr)
-        for jc in range(n_j):
+        # Chunks are independent here (dB/dC accumulate across them), so run
+        # the LAST chunk first: a_scr/h_scr still hold its scan from the
+        # y-rebuild loop above (nothing between writes them; cg_scr's stale
+        # c2 is overwritten before its first read below), skipping one full
+        # redundant forward-scan recompute per call — the r5 anatomy priced
+        # it at ~4 ms of the 17.5 ms stage-0 kernel where n_j == 1 (i.e. the
+        # whole recompute), and one of n_j recomputes at C=192 (BASELINE.md).
+        for jc in reversed(range(n_j)):
             a_flat = at_ref[jc, 0:1, :]
             lo = jc * Dc
-            if n_j == 1:
-                # single chunk (Dh <= Dc — every C=96 stage-0): a_scr/h_scr
-                # still hold this chunk's scan from the y-rebuild loop above
-                # (nothing between writes them; cg_scr's stale c2 is
-                # overwritten before its first read below). Skipping the
-                # second chunk_fwd removes a full redundant forward-scan
-                # recompute — the r5 anatomy priced it at ~4 ms of the
-                # 17.5 ms kernel (micro stage-0, BASELINE.md).
+            if jc == n_j - 1:
                 d2, x2, d_rep2 = fwd_vals
             else:
                 d2, x2, d_rep2 = chunk_fwd(jc)  # rebuild a_scr / h history

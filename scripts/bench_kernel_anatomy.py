@@ -749,12 +749,12 @@ def main():
                     dxs_scr[...] = y_scr[...]
                     ddt_scr[...] = y_scr[...]
                 else:
-                    for jc in range(n_j):
+                    for jc in reversed(range(n_j)):
                         a_flat = at_ref[jc, 0:1, :]
                         lo = jc * Dc
-                        if n_j == 1:
-                            # mirror of the shipped n_j==1 dedup (r5): the
-                            # scan scratches are still valid from the
+                        if jc == n_j - 1:
+                            # mirror of the shipped last-chunk dedup (r5):
+                            # the scan scratches are still valid from the
                             # y-rebuild loop
                             d2, x2, d_rep2 = fwd_vals
                         else:

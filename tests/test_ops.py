@@ -694,6 +694,58 @@ def test_mamba_window_fused_parity(rng):
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
+def test_mamba_window_fused_parity_multichunk(rng):
+    """Fused mamba mixer at a MULTI-chunk state split (Dh > 1024/N -> n_j=2):
+    covers the r5 last-chunk scan-scratch reuse in the backward, which only
+    changes behavior when n_j > 1 (the bwd chunk loop runs in reverse and
+    skips one chunk_fwd; ops/mamba_window.py)."""
+    from long_context_biomedical_imaging_tpu.ops.conv import depthwise_conv1d_cm
+    from long_context_biomedical_imaging_tpu.ops.mamba_window import (
+        _pick_chunk, mamba_window_mixer)
+    from long_context_biomedical_imaging_tpu.ops.selective_scan import (
+        selective_scan_cm)
+
+    BW, V, C, N = 8, 16, 288, 8
+    Dh, R = C // 2, 3
+    assert -(-Dh // _pick_chunk(N, Dh)) == 2   # the shape must exercise n_j=2
+
+    def mk(shape, scale=0.3):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+    x = mk((BW, V, C), 1.0)
+    w_xz, wx, wz = mk((C, C), 0.1), mk((Dh, 3)), mk((Dh, 3))
+    w_dbl, w_dt = mk((Dh, R + 2 * N), 0.1), mk((R, Dh), 0.1)
+    dt_bias = mk((Dh,), 0.1)
+    A = -jnp.exp(mk((Dh, N)))
+    D = mk((Dh,), 1.0)
+    w_out = mk((C, C), 0.1)
+    args = (x, w_xz, wx, wz, w_dbl, w_dt, dt_bias, A, D, w_out)
+
+    def composed(x, w_xz, wx, wz, w_dbl, w_dt, dt_bias, A, D, w_out):
+        xz = (x.reshape(-1, C) @ w_xz).reshape(BW, V, C)
+        xz = jax.nn.silu(depthwise_conv1d_cm(
+            xz, jnp.concatenate([wx, wz], axis=0), None, "same"))
+        xs, z = xz[..., :Dh], xz[..., Dh:]
+        dbl = (xs.reshape(-1, Dh) @ w_dbl).reshape(BW, V, R + 2 * N)
+        dt = (dbl[..., :R] @ w_dt) + dt_bias
+        y = selective_scan_cm(xs, dt, A, dbl[..., R:R + N], dbl[..., R + N:],
+                              D, delta_bias=dt_bias, delta_softplus=True)
+        yz = jnp.concatenate([y, z], axis=-1)
+        return (yz.reshape(-1, C) @ w_out).reshape(BW, V, C)
+
+    np.testing.assert_allclose(
+        np.asarray(mamba_window_mixer(*args, d_state=N)),
+        np.asarray(composed(*args)), rtol=3e-5, atol=3e-5)
+    gf = jax.grad(lambda *a: jnp.sum(mamba_window_mixer(*a, d_state=N) ** 2),
+                  argnums=tuple(range(10)))(*args)
+    gc = jax.grad(lambda *a: jnp.sum(composed(*a) ** 2),
+                  argnums=tuple(range(10)))(*args)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_kernel_dispatch():
     """The fused Pallas mixers must actually engage at the workload shapes
     (and stay off where the composed paths are faster/required)."""
