@@ -328,17 +328,86 @@ def _toeplitz_conv_cm(u, k):
     with T[t, s, c] = k[t-s, c]. At the cmr/emb window shapes (V=512) this
     measured 35x faster forward / 24x fwd+bwd than the XLA TPU FFT (2.1 vs
     73 ms at BW=2048, C=96) — the FFT runs ~15% efficient while the
-    O(L^2 D) matmul rides the MXU; XLA autodiffs the einsum + gather build
-    efficiently, so no custom VJP is needed. Channel-minor throughout (no
-    transposes, unlike the FFT path)."""
-    L = u.shape[1]
+    O(L^2 D) matmul rides the MXU. Channel-minor throughout (no transposes,
+    unlike the FFT path). Custom VJP: the gather T-build's autodiff
+    transpose is a scatter-add for dk (r5: 3.17 ms/block at stage 2), so
+    the backward computes dk via chunk-lag dots instead."""
+    return _toeplitz_conv_core(u, k)
+
+
+def _toeplitz_T(k, L, dtype):
+    """(L, L, D) causal Toeplitz operator T[t, s, c] = k[c, t-s] (0 for
+    s > t). Gather build — fine forward; its autodiff transpose is a
+    scatter-add (near-scalar on TPU), which is why the VJP below computes
+    dk densely instead."""
     t_idx = np.arange(L)[:, None] - np.arange(L)[None, :]
     mask = jnp.asarray(t_idx >= 0)
     idx = jnp.asarray(np.clip(t_idx, 0, L - 1))
     kT = k.T                                     # (L, D)
-    T = jnp.where(mask[..., None], kT[idx], 0.0).astype(u.dtype)
+    return jnp.where(mask[..., None], kT[idx], 0.0).astype(dtype)
+
+
+@jax.custom_vjp
+def _toeplitz_conv_core(u, k):
+    T = _toeplitz_T(k, u.shape[1], u.dtype)
     return jnp.einsum("bsc,tsc->btc", u, T,
                       preferred_element_type=jnp.float32).astype(u.dtype)
+
+
+def _toeplitz_conv_fwd(u, k):
+    return _toeplitz_conv_core(u, k), (u, k)
+
+
+@functools.lru_cache(maxsize=4)
+def _diag_onehot(ch: int):
+    """(ch, ch, 2ch-1) one-hot: E[x, y, o] = 1 iff x - y == o - (ch-1) —
+    turns per-offset diagonal sums of a (C, ch, ch) block into one einsum."""
+    x = np.arange(ch)[:, None, None]
+    y = np.arange(ch)[None, :, None]
+    o = np.arange(2 * ch - 1)[None, None, :]
+    return jnp.asarray((x - y == o - (ch - 1)).astype(np.float32))
+
+
+def _toeplitz_conv_bwd(res, g):
+    """du via the transposed Toeplitz einsum; dk WITHOUT the gather's
+    scatter-add transpose (3.17 ms per stage-2 hyena block on TPU — 19 ms
+    of the emb step, r5 profile): dk[tau, c] = sum_{b, t} g[b,t,c]
+    u[b,t-tau,c] computed as chunk-lag MXU dots (K = B*(n-d) chunk pairs)
+    followed by per-offset diagonal sums via a small one-hot einsum."""
+    u, k = res
+    B, L, C = u.shape
+    g32 = g.astype(u.dtype)
+    T = _toeplitz_T(k, L, u.dtype)
+    du = jnp.einsum("btc,tsc->bsc", g32, T,
+                    preferred_element_type=jnp.float32).astype(u.dtype)
+
+    ch = min(128, L)
+    Lp = -(-L // ch) * ch
+    pad = Lp - L
+    gp = jnp.pad(g32, ((0, 0), (0, pad), (0, 0))) if pad else g32
+    up = jnp.pad(u, ((0, 0), (0, pad), (0, 0))) if pad else u
+    n = Lp // ch
+    gr = gp.reshape(B, n, ch, C)
+    ur = up.reshape(B, n, ch, C)
+    E = _diag_onehot(ch).astype(u.dtype)
+    # dkp[tau + ch - 1] accumulates lag tau; bands of consecutive d overlap
+    dkp = jnp.zeros((Lp + ch, C), jnp.float32)
+    for d in range(n):
+        # P[c, x, y] = sum_{b, q >= d} g[b, q*ch+x, c] * u[b, (q-d)*ch+y, c]
+        P = jax.lax.dot_general(
+            gr[:, d:], ur[:, :n - d],
+            (((0, 1), (0, 1)), ((3,), (3,))),
+            preferred_element_type=jnp.float32)       # (C, ch, ch)
+        s = jnp.einsum("cxy,xyo->oc", P.astype(u.dtype), E,
+                       preferred_element_type=jnp.float32)
+        dkp = jax.lax.dynamic_update_slice(
+            dkp, jax.lax.dynamic_slice(dkp, (d * ch, 0), (2 * ch - 1, C)) + s,
+            (d * ch, 0))
+    dk = dkp[ch - 1:ch - 1 + L]                       # drop acausal lags
+    return du, dk.T.astype(k.dtype)
+
+
+_toeplitz_conv_core.defvjp(_toeplitz_conv_fwd, _toeplitz_conv_bwd)
 
 
 def causal_long_conv_cm(u, k, bias=None):

@@ -767,9 +767,12 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False,
                     dvlT_scr[:, d * bb:, :]
         if mode == "stream":
             # dM leaves the kernel: stream the operands, contract outside at
-            # full depth (K = BW*(n-d) instead of <= n*bb)
-            gs_ref[0] = gT_scr[...].astype(gs_ref.dtype)
-            ds_ref[0] = dvlT_scr[...].astype(ds_ref.dtype)
+            # full depth (K = BW*(n-d) instead of <= n*bb). C-leading global
+            # layout (C, G, rows, chunk): the XLA dots batch over C, so this
+            # is their preferred operand order — the (G, C, ...) layout cost
+            # ~13 ms/step of C-hoisting copies in the emb profile.
+            gs_ref[:, 0] = gT_scr[...].astype(gs_ref.dtype)
+            ds_ref[:, 0] = dvlT_scr[...].astype(ds_ref.dtype)
         elif mode == "wide":
             # ONE matmul for all lags; K = n*bb but a single fill/drain
             dmw = jax.lax.dot_general(
@@ -833,6 +836,52 @@ def _make_bwd_kernel_chunked(V, C, K, dt, chunk, ln: bool = False,
     return kernel
 
 
+def _dm_reduce_pallas(gs, ds, n: int, bb: int, chunk: int):
+    """dM from the streamed gT/dvlT: dm[d][c,j,r] = sum over (block g, row
+    r' < (n-d)*bb) of gs[c,g,r',j] * ds[c,g,r'+d*bb,r].
+
+    The XLA dot on the sliced operands repacks 402 MB per lag at ~12 TF/s
+    (~20 ms/step of dot fusions + copies in the emb r5 profile). Here gg
+    grid-blocks sit in VMEM at once and per-lag contiguous packs give each
+    dot K = gg*(n-d)*bb (up to 256) on the MXU, reading the streams once.
+    """
+    C, G, R, J = gs.shape
+    dt = gs.dtype
+    gg = 8
+    while gg > 1 and G % gg:
+        gg //= 2
+
+    def kernel(gs_ref, ds_ref, dm_ref, lhs_scr, rhs_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dm_ref[...] = jnp.zeros_like(dm_ref)
+
+        for d in range(n):
+            rows = (n - d) * bb
+            for g in range(gg):
+                lhs_scr[:, g * rows:(g + 1) * rows, :] = gs_ref[:, g, :rows, :]
+                rhs_scr[:, g * rows:(g + 1) * rows, :] = \
+                    ds_ref[:, g, d * bb:, :]
+            dm_ref[d] += jax.lax.dot_general(
+                lhs_scr[:, :gg * rows, :], rhs_scr[:, :gg * rows, :],
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(G // gg,),
+        in_specs=[pl.BlockSpec((C, gg, R, J), lambda i: (0, i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec((n, C, J, J), lambda i: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, C, J, J), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, gg * R, J), dt),
+                        pltpu.VMEM((C, gg * R, J), dt)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(gs, ds)
+
+
 def _bwd_impl_chunked(res, do, ln: bool):
     if ln:
         x, gln, bln, win, bin_, ws, bs, m, wo = res
@@ -870,9 +919,9 @@ def _bwd_impl_chunked(res, do, ln: bool):
         mt_args, mt_specs, wide_scr = (), [], []
 
     if mode == "stream":
-        mid_specs = [pl.BlockSpec((1, C, n * bb, chunk),
-                                  lambda i: (i, 0, 0, 0))] * 2
-        mid_shapes = [jax.ShapeDtypeStruct((G, C, n * bb, chunk), dt)] * 2
+        mid_specs = [pl.BlockSpec((C, 1, n * bb, chunk),
+                                  lambda i: (0, i, 0, 0))] * 2
+        mid_shapes = [jax.ShapeDtypeStruct((C, G, n * bb, chunk), dt)] * 2
     else:
         mid_specs = [pl.BlockSpec((n, C, chunk, chunk),
                                   lambda i: (0, 0, 0, 0))]
@@ -939,12 +988,15 @@ def _bwd_impl_chunked(res, do, ln: bool):
         # rhs, no row slices — measured WORSE in-step: emb 302.6 vs 281.9
         # ms/step, the per-lag 402 MB pad materializations cost more than
         # XLA's dot packing of the sliced operands.)
-        dm = jnp.stack([
-            jax.lax.dot_general(
-                gs[:, :, :(n - d) * bb, :], ds[:, :, d * bb:, :],
-                (((0, 2), (0, 2)), ((1,), (1,))),
-                preferred_element_type=jnp.float32)
-            for d in range(n)])
+        if _os.environ.get("LCBI_HYENA_DM_REDUCER", "1") != "0":
+            dm = _dm_reduce_pallas(gs, ds, n, bb, chunk)
+        else:
+            dm = jnp.stack([
+                jax.lax.dot_general(
+                    gs[:, :, :(n - d) * bb, :], ds[:, :, d * bb:, :],
+                    (((1, 2), (1, 2)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                for d in range(n)])
     else:
         (dm,) = mid
     if ln:

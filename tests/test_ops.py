@@ -694,6 +694,35 @@ def test_mamba_window_fused_parity(rng):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_toeplitz_conv_custom_vjp(rng):
+    """_toeplitz_conv_cm's custom VJP (r5: dk via chunk-lag dots instead of
+    the gather build's scatter-add transpose) == plain-XLA autodiff of the
+    gather-built einsum, at chunk-divisible AND padded lengths.
+    (Ref op being replaced: hyena.py:32-51 long conv backward.)"""
+    from long_context_biomedical_imaging_tpu.ops.fftconv import (
+        _toeplitz_conv_cm)
+
+    for (B, L, D) in ((3, 96, 8), (2, 320, 8)):
+        u = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(D, L)).astype(np.float32) * 0.2)
+
+        def ref(u, k):
+            idx = np.arange(L)[:, None] - np.arange(L)[None, :]
+            Tm = jnp.where(jnp.asarray(idx >= 0)[..., None],
+                           k.T[jnp.asarray(np.clip(idx, 0, L - 1))], 0.0)
+            return jnp.einsum("bsc,tsc->btc", u, Tm)
+
+        f = lambda u, k: jnp.sum(jnp.sin(_toeplitz_conv_cm(u, k)))
+        fr = lambda u, k: jnp.sum(jnp.sin(ref(u, k)))
+        np.testing.assert_allclose(f(u, k), fr(u, k), rtol=1e-5)
+        gu, gk = jax.grad(f, argnums=(0, 1))(u, k)
+        ru, rk = jax.grad(fr, argnums=(0, 1))(u, k)
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(ru),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_mamba_window_fused_parity_multichunk(rng):
     """Fused mamba mixer at a MULTI-chunk state split (Dh > 1024/N -> n_j=2):
