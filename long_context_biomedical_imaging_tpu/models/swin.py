@@ -28,9 +28,9 @@ from ..ops import (compute_shift_regions, get_window_size,
                    pad_to_window_multiple, relative_position_index,
                    window_partition, window_reverse, windowed_attention_proj)
 from .hyena import HyenaOperator
-from .layers import (LNMLPResidual, PatchEmbed, TorchDense, fan_in_bias_init,
-                     parameterless_layer_norm, torch_linear_kernel_init,
-                     trunc_normal_init)
+from .layers import (LayerNormAmp, LNMLPResidual, PatchEmbed, TorchDense,
+                     fan_in_bias_init, parameterless_layer_norm,
+                     torch_linear_kernel_init, trunc_normal_init)
 from .mamba import MambaVisionMixer
 
 HYENA_L_MAX = 66000  # ref: backbone_swin.py:317
@@ -119,7 +119,9 @@ class PatchMergingV2(nn.Module):
         x = x.reshape(b, dp // md, md, hp // 2, 2, wp // 2, 2, c)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(b, dp // md, hp // 2, wp // 2, md * 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        # LayerNormAmp, not nn.LayerNorm: keeps the big transpose above in
+        # the stream dtype under AMP (see layers.LayerNormAmp)
+        x = LayerNormAmp(name="norm")(x)
         return TorchDense(2 * self.dim, use_bias=False)(x)
 
 
